@@ -1,0 +1,42 @@
+"""Parity of ops.resize with torch F.interpolate / F.avg_pool2d semantics."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from wseg_tpu.ops.resize import avg_pool2d, resize_bilinear
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((14, 14), (128, 128)), ((56, 56), (16, 16)), ((17, 23), (50, 31)), ((8, 8), (8, 8))],
+)
+def test_bilinear_matches_torch(align_corners, in_hw, out_hw):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, *in_hw, 5).astype(np.float32)
+    got = np.asarray(resize_bilinear(x, out_hw, align_corners=align_corners))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = (
+        F.interpolate(xt, out_hw, mode="bilinear", align_corners=align_corners)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_rank3():
+    rng = np.random.RandomState(1)
+    x = rng.randn(10, 12, 3).astype(np.float32)
+    got = np.asarray(resize_bilinear(x, (20, 24), align_corners=False))
+    assert got.shape == (20, 24, 3)
+
+
+def test_avg_pool2d_matches_torch():
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 32, 40, 21).astype(np.float32)
+    got = np.asarray(avg_pool2d(x, 8))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = F.avg_pool2d(xt, 8, 8).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,98 @@
+"""End-to-end train-step tests: single-host and 8-virtual-device mesh."""
+
+import numpy as np
+import pytest
+
+
+def test_optim_poly_sgd_matches_torch():
+    """PolySGD parity with the reference PolyOptimizer semantics
+    (tool/torchutils.py:11-33 with the positional-arg momentum quirk)."""
+    import jax.numpy as jnp
+    import torch
+
+    from wseg_tpu.train.optim import poly_sgd
+
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    g = np.array([0.5, 0.25, -1.0], np.float32)
+
+    # torch: SGD(momentum=5e-4 via the positional bug), group wd=5e-4, poly lr
+    p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([{"params": [p], "lr": 0.01, "weight_decay": 5e-4}],
+                          lr=0.01, momentum=5e-4)
+    max_step = 10
+    for step in range(3):
+        lr_mult = (1 - step / max_step) ** 0.9
+        opt.param_groups[0]["lr"] = 0.01 * lr_mult
+        opt.zero_grad()
+        p.grad = torch.from_numpy(g.copy())
+        opt.step()
+    want = p.detach().numpy()
+
+    labels = {"w": "pretrained_w"}
+    tx = poly_sgd(base_lr=0.01, weight_decay=5e-4, max_step=max_step, labels=labels)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for _ in range(3):
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = {"w": params["w"] + updates["w"]}
+    np.testing.assert_allclose(np.asarray(params["w"]), want, rtol=1e-5, atol=1e-7)
+
+
+def test_label_params_groups():
+    import jax
+    import jax.numpy as jnp
+
+    from wseg_tpu.models import build_model
+    from wseg_tpu.train.optim import label_params
+
+    model = build_model("contrast")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    labels = label_params(variables["params"])
+    assert labels["fc8"]["kernel"] == "scratch_w"
+    assert labels["fc_proj"]["kernel"] == "scratch_w"
+    assert labels["f9"]["kernel"] == "scratch_w"
+    assert labels["backbone"]["conv1a"]["kernel"] == "frozen"
+    assert labels["backbone"]["b2"]["conv_branch2a"]["kernel"] == "frozen"
+    assert labels["backbone"]["b3"]["conv_branch2a"]["kernel"] == "pretrained_w"
+    assert labels["backbone"]["b3"]["bn_branch2a"]["scale"] == "frozen"
+    assert labels["backbone"]["bn7"]["scale"] == "frozen"
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8dev():
+    import jax
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_frozen_params_not_updated():
+    import jax
+    import jax.numpy as jnp
+
+    from wseg_tpu.models import build_model
+    from wseg_tpu.train.contrast import TrainState, make_train_step
+    from wseg_tpu.train.optim import label_params, poly_sgd
+
+    model = build_model("contrast")
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = poly_sgd(0.01, 5e-4, max_step=100, labels=label_params(params))
+    state = TrainState(params, tx.init(params), batch_stats, rng)
+    step = make_train_step(model, tx, low_res=32)
+
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    label = jnp.zeros((2, 20), jnp.float32)
+    label = label.at[0, 3].set(1.0).at[1, 7].set(1.0)
+
+    before_frozen = np.asarray(params["backbone"]["conv1a"]["kernel"])
+    before_fc8 = np.asarray(params["fc8"]["kernel"])
+    new_state, metrics = step(state, img, label)
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["backbone"]["conv1a"]["kernel"]), before_frozen
+    )
+    assert not np.allclose(np.asarray(new_state.params["fc8"]["kernel"]), before_fc8)

@@ -1,0 +1,135 @@
+"""Stage-1 training CLI — flag-compatible rebuild of `contrast_train.py`.
+
+Usage:
+  python -m wseg_tpu.cli.contrast_train --weights <pth|ckpt> --voc12_root VOC2012
+
+Differences from the reference driver: one jitted dual-view train step over a
+TPU mesh (data-parallel) instead of DataParallel; thread-prefetch input
+pipeline; native msgpack checkpoints (plus .pth import).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--max_epoches", default=8, type=int)
+    parser.add_argument("--network", default="contrast", type=str)
+    parser.add_argument("--lr", default=0.01, type=float)
+    parser.add_argument("--num_workers", default=8, type=int)
+    parser.add_argument("--wt_dec", default=5e-4, type=float)
+    parser.add_argument("--train_list", default="voc12/train_aug.txt", type=str)
+    parser.add_argument("--val_list", default="voc12/val.txt", type=str)
+    parser.add_argument("--session_name", default="resnet38", type=str)
+    parser.add_argument("--crop_size", default=448, type=int)
+    parser.add_argument("--weights", default="", type=str)
+    parser.add_argument("--voc12_root", default="VOC2012", type=str)
+    parser.add_argument("--tblog_dir", default="./tblog", type=str)
+    parser.add_argument("--bg_threshold", default=0.20, type=float)
+    parser.add_argument("--momentum", default=5e-4, type=float,
+                        help="SGD momentum; reference-equivalent default "
+                        "(see train/optim.py docstring)")
+    parser.add_argument("--seed", default=1, type=int)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wseg_tpu.data.loader import DataLoader
+    from wseg_tpu.data.voc12 import ContrastTrainDataset
+    from wseg_tpu.models import build_model
+    from wseg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from wseg_tpu.train.contrast import TrainState, make_train_step
+    from wseg_tpu.train.optim import label_params, poly_sgd
+    from wseg_tpu.utils.checkpoint import load_pretrained, merge_params, save_checkpoint
+    from wseg_tpu.utils.logging import AverageMeter, Logger, ScalarWriter, Timer
+
+    Logger(os.path.join("result", args.session_name, "contrast.log"))
+    print(vars(args))
+
+    model = build_model(args.network)
+    tblogger = ScalarWriter(args.tblog_dir)
+
+    dataset = ContrastTrainDataset(
+        args.train_list, args.voc12_root, crop_size=args.crop_size
+    )
+    loader = DataLoader(
+        dataset, args.batch_size, shuffle=True, drop_last=True,
+        num_workers=args.num_workers, seed=args.seed,
+    )
+    max_step = len(dataset) // args.batch_size * args.max_epoches
+
+    rng = jax.random.PRNGKey(args.seed)
+    variables = model.init(
+        rng, jnp.zeros((1, args.crop_size, args.crop_size, 3), jnp.float32)
+    )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    if args.weights:
+        loaded_params, loaded_stats = load_pretrained(args.weights)
+        params = merge_params(params, loaded_params)
+        batch_stats = merge_params(batch_stats, loaded_stats)
+        print(f"loaded pretrained weights from {args.weights}")
+
+    tx = poly_sgd(
+        args.lr, args.wt_dec, max_step, momentum=args.momentum,
+        labels=label_params(params),
+    )
+    state = TrainState(params, tx.init(params), batch_stats, rng)
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    step_fn = make_train_step(model, tx, args.bg_threshold)
+
+    avg_meter = AverageMeter()
+    timer = Timer("Session started: ")
+    global_step = 0
+
+    for ep in range(args.max_epoches):
+        for it, (names, imgs, labels) in enumerate(loader):
+            batch = shard_batch(
+                mesh, (imgs.astype(np.float32), np.stack(labels).astype(np.float32))
+            )
+            state, metrics = step_fn(state, *batch)
+            global_step += 1
+
+            avg_meter.add({k: float(v) for k, v in metrics.items()})
+            if (global_step - 1) % 50 == 0:
+                timer.update_progress(global_step / max_step)
+                lr = args.lr * (1 - (global_step - 1) / max_step) ** 0.9
+                print(
+                    "Iter:%5d/%5d | " % (global_step - 1, max_step),
+                    "loss: %.4f | loss_cls: %.4f | loss_er: %.4f | loss_ecr: %.4f | "
+                    "loss_nce: %.4f | loss_intra_nce: %.4f | loss_cross_nce: %.4f | loss_cross_nce2: %.4f"
+                    % avg_meter.get(
+                        "loss", "loss_cls", "loss_er", "loss_ecr",
+                        "loss_nce", "loss_intra_nce", "loss_cross_nce", "loss_cross_nce2",
+                    ),
+                    "imps:%.1f | " % ((it + 1) * args.batch_size / timer.get_stage_elapsed()),
+                    "Fin:%s | " % timer.str_est_finish(),
+                    "lr: %.4f" % lr,
+                    flush=True,
+                )
+                tblogger.add_scalars(
+                    "loss", {k: float(v) for k, v in metrics.items()}, global_step - 1
+                )
+                tblogger.add_scalar("lr", lr, global_step - 1)
+                avg_meter.pop()
+        print("")
+        timer.reset_stage()
+
+    print(args.session_name)
+    out = os.path.join("result", args.session_name, "contrast.ckpt")
+    save_checkpoint(
+        out, {"params": jax.device_get(state.params), "batch_stats": jax.device_get(state.batch_stats)}
+    )
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Multi-scale + flip CAM inference as batched XLA programs.
+
+Rebuild of `contrast_infer.py:38-99`. The reference fans each image's 8 views
+(scales {0.5, 1, 1.5, 2} x {orig, flip}) over a Python thread pool of GPU
+replicas (:46-71); here the flip pair is one batch and each scale is one
+jitted program, with shapes bucketed (padded up to a multiple) so the whole
+VOC set reuses a handful of compiled programs. The stride-8 CAM is cropped to
+the valid (unpadded) region, bilinearly upsampled to the original size
+(align_corners=False like F.upsample at :62), flipped back, label-masked,
+summed over views and min/max-normalized (:75-80).
+
+Two paths:
+* `CamInferencer.infer_one` — variable-size images (bucketed padding).
+* `make_fused_msf_fn` — fixed-size fast path: ALL scales + fusion + upsample
+  in ONE jitted program per shape; used by the benchmark and whenever the
+  input pipeline produces uniform sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wseg_tpu.ops.cam import fuse_msf_cams
+from wseg_tpu.ops.resize import _resize_weights_np, resize_bilinear
+
+DEFAULT_SCALES = (0.5, 1.0, 1.5, 2.0)
+
+
+def _ceil8(x: int) -> int:
+    return -(-x // 8)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _np_upsample(cam: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """(h, w, C) -> (H, W, C) bilinear align_corners=False on host."""
+    wh = _resize_weights_np(cam.shape[0], out_hw[0], False)
+    ww = _resize_weights_np(cam.shape[1], out_hw[1], False)
+    return np.einsum("oh,hwc->owc", wh, np.einsum("pw,hwc->hpc", ww, cam))
+
+
+class CamInferencer:
+    """Variable-size MSF CAM inference with shape-bucketed compiled programs."""
+
+    def __init__(self, model, variables, scales=DEFAULT_SCALES, bucket: int = 64):
+        self.model = model
+        self.variables = variables
+        self.scales = scales
+        self.bucket = bucket  # pad H,W up to a multiple; None = exact shapes
+
+    @functools.lru_cache(maxsize=None)
+    def _forward(self, h: int, w: int):
+        def f(variables, imgs):
+            cam = self.model.apply(variables, imgs)[0]  # (B, h/8, w/8, 21)
+            return cam[..., 1:]  # foreground channels (contrast_infer.py:62)
+
+        return jax.jit(f)
+
+    def infer_one(
+        self, views: list[np.ndarray], label: np.ndarray, orig_hw: tuple[int, int]
+    ) -> np.ndarray:
+        """views: 8 HWC float32 arrays ([s, s_flip] per scale, already
+        normalized); label: (20,); returns the fused normalized fg CAM
+        (20, H, W)."""
+        h0, w0 = orig_hw
+        sum_cam = np.zeros((h0, w0, 20), np.float32)
+        for si in range(len(views) // 2):
+            pair = np.stack([views[2 * si], views[2 * si + 1]])  # (2, h, w, 3)
+            h, w = pair.shape[1:3]
+            if self.bucket:
+                ph, pw = _round_up(h, self.bucket), _round_up(w, self.bucket)
+                pair = np.pad(pair, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+            cam = np.asarray(self._forward(*pair.shape[1:3])(self.variables, pair))
+            cam = cam[:, : _ceil8(h), : _ceil8(w)]  # valid region
+            for i in range(2):
+                up = _np_upsample(cam[i], (h0, w0))
+                if i == 1:
+                    up = up[:, ::-1]
+                sum_cam += up
+        sum_cam = sum_cam * label[None, None, :]
+        sum_cam = np.transpose(sum_cam, (2, 0, 1))  # (20, H, W)
+        return np.asarray(fuse_msf_cams(jnp.asarray(sum_cam)))
+
+
+def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES):
+    """One jitted program: per-scale batched forwards + device-side upsample
+    (align_corners=False), flip-back, label mask, sum, min/max normalize.
+
+    fn(variables, views, label) with views = tuple over scales of
+    (B, 2, h_s, w_s, 3), label (B, 20) -> (B, 20, H, W).
+    """
+    h0, w0 = orig_hw
+
+    def fn(variables, views, label):
+        total = None
+        for v in views:
+            b, two, h, w, _ = v.shape
+            cam = model.apply(variables, v.reshape(b * 2, h, w, 3))[0][..., 1:]
+            cam = resize_bilinear(cam, (h0, w0), align_corners=False)
+            cam = cam.reshape(b, 2, h0, w0, 20)
+            cam = cam.at[:, 1].set(cam[:, 1, :, ::-1])
+            s = cam.sum(axis=1)
+            total = s if total is None else total + s
+        total = total * label[:, None, None, :]
+        total = jnp.transpose(total, (0, 3, 1, 2))  # (B, 20, H, W)
+        return jax.vmap(fuse_msf_cams)(total)
+
+    return jax.jit(fn)
+
+
+def make_views_for_image(img_hwc: np.ndarray, scales=DEFAULT_SCALES) -> list[np.ndarray]:
+    """Device-free helper for pre-normalized fixed-size arrays: build the
+    [scale, flip] view list with PIL-equivalent bicubic NOT applied — callers
+    with PIL images should use data.transforms.msf_views instead. Here scaling
+    uses jax bilinear (for synthetic benches only)."""
+    h, w = img_hwc.shape[:2]
+    out = []
+    for s in scales:
+        th, tw = round(h * s), round(w * s)
+        v = np.asarray(resize_bilinear(img_hwc, (th, tw), align_corners=False))
+        out.append(v)
+        out.append(v[:, ::-1].copy())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Output writers — the file contracts consumed by stage 2 (bit-compatible
+# with contrast_infer.py:82-99)
+# ---------------------------------------------------------------------------
+
+
+def save_cam_dict(out_dir: str, name: str, norm_cam: np.ndarray, label: np.ndarray):
+    """{class_idx: (H, W) float32} for present classes -> <name>.npy."""
+    os.makedirs(out_dir, exist_ok=True)
+    cam_dict = {i: norm_cam[i] for i in range(20) if label[i] > 1e-5}
+    np.save(os.path.join(out_dir, name + ".npy"), cam_dict)
+    return cam_dict
+
+
+def save_cam_pred(out_dir: str, name: str, norm_cam: np.ndarray, alpha: float = 0.26):
+    """argmax png with constant bg score `alpha` (contrast_infer.py:92-99)."""
+    import imageio
+
+    os.makedirs(out_dir, exist_ok=True)
+    bg = np.ones_like(norm_cam[:1]) * alpha
+    pred = np.argmax(np.concatenate([bg, norm_cam], axis=0), axis=0).astype(np.uint8)
+    imageio.imsave(os.path.join(out_dir, name + ".png"), pred)
+    return pred

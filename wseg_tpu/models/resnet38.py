@@ -1,0 +1,156 @@
+"""Dilated WideResNet-38 (A1) backbone, output stride 8, NHWC.
+
+TPU-native rebuild of `network/resnet38d.py:6-189`:
+* pre-activation residual blocks (`ResBlock` :6-52, bottleneck
+  `ResBlock_bot` :54-102 with channel dropout)
+* stride-8 via dilation 2 (b5*) and 4 (b6/b7)
+* `forward_as_dict` taps conv3/conv4/conv5/conv6 — the bn+relu of the b4/b5/
+  b6 block inputs and the final bn7+relu 4096-ch feature.
+
+All BatchNorms are frozen (constants from running stats) exactly as the
+reference forces in `Net.train` (resnet38d.py:207-212). Parameter names
+mirror the reference state_dict keys so the torch/mxnet weight converters are
+a pure rename.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from wseg_tpu.models.layers import BatchNorm2d, Dropout2d, conv
+
+# (mean, std) of the reference's input normalization (resnet38d.py:104-118)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_image(img_uint8) -> jnp.ndarray:
+    """HWC uint8 -> normalized float32 (host- or device-side)."""
+    import numpy as np
+
+    arr = np.asarray(img_uint8, dtype=np.float32) / 255.0
+    return (arr - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+        IMAGENET_STD, np.float32
+    )
+
+
+class ResBlock(nn.Module):
+    """Pre-activation basic block: bn-relu -> [1x1 shortcut if reshaping]
+    + conv3x3(stride, first_dilation) - bn-relu - conv3x3(dilation)."""
+
+    in_channels: int
+    mid_channels: int
+    out_channels: int
+    stride: int = 1
+    first_dilation: int | None = None
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, get_x_bn_relu: bool = False):
+        same_shape = self.in_channels == self.out_channels and self.stride == 1
+        fd = self.first_dilation if self.first_dilation is not None else self.dilation
+
+        branch2 = BatchNorm2d(self.in_channels, name="bn_branch2a")(x)
+        branch2 = jax.nn.relu(branch2)
+        x_bn_relu = branch2
+
+        if not same_shape:
+            branch1 = conv(self.out_channels, 1, self.stride, name="conv_branch1")(branch2)
+        else:
+            branch1 = x
+
+        branch2 = conv(
+            self.mid_channels, 3, self.stride, dilation=fd, padding=fd,
+            name="conv_branch2a",
+        )(branch2)
+        branch2 = BatchNorm2d(self.mid_channels, name="bn_branch2b1")(branch2)
+        branch2 = jax.nn.relu(branch2)
+        branch2 = conv(
+            self.out_channels, 3, dilation=self.dilation, padding=self.dilation,
+            name="conv_branch2b1",
+        )(branch2)
+
+        out = branch1 + branch2
+        if get_x_bn_relu:
+            return out, x_bn_relu
+        return out
+
+
+class ResBlockBot(nn.Module):
+    """Pre-activation bottleneck with channel dropout
+    (resnet38d.py:54-102). The 1x1 shortcut is unconditional."""
+
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    dilation: int = 1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, get_x_bn_relu: bool = False):
+        branch2 = BatchNorm2d(self.in_channels, name="bn_branch2a")(x)
+        branch2 = jax.nn.relu(branch2)
+        x_bn_relu = branch2
+
+        branch1 = conv(self.out_channels, 1, self.stride, name="conv_branch1")(branch2)
+
+        branch2 = conv(self.out_channels // 4, 1, self.stride, name="conv_branch2a")(branch2)
+        branch2 = BatchNorm2d(self.out_channels // 4, name="bn_branch2b1")(branch2)
+        branch2 = jax.nn.relu(branch2)
+        branch2 = Dropout2d(self.dropout, name="dropout_2b1")(branch2, deterministic=not train)
+        branch2 = conv(
+            self.out_channels // 2, 3, dilation=self.dilation, padding=self.dilation,
+            name="conv_branch2b1",
+        )(branch2)
+        branch2 = BatchNorm2d(self.out_channels // 2, name="bn_branch2b2")(branch2)
+        branch2 = jax.nn.relu(branch2)
+        branch2 = Dropout2d(self.dropout, name="dropout_2b2")(branch2, deterministic=not train)
+        branch2 = conv(self.out_channels, 1, name="conv_branch2b2")(branch2)
+
+        out = branch1 + branch2
+        if get_x_bn_relu:
+            return out, x_bn_relu
+        return out
+
+
+class ResNet38(nn.Module):
+    """Backbone returning the {conv3, conv4, conv5, conv6} tap dict
+    (resnet38d.py:160-189)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> dict[str, jax.Array]:
+        x = conv(64, 3, padding=1, name="conv1a")(x)
+
+        x = ResBlock(64, 128, 128, stride=2, name="b2")(x, train=train)
+        x = ResBlock(128, 128, 128, name="b2_1")(x, train=train)
+        x = ResBlock(128, 128, 128, name="b2_2")(x, train=train)
+
+        x = ResBlock(128, 256, 256, stride=2, name="b3")(x, train=train)
+        x = ResBlock(256, 256, 256, name="b3_1")(x, train=train)
+        x = ResBlock(256, 256, 256, name="b3_2")(x, train=train)
+
+        x, conv3 = ResBlock(256, 512, 512, stride=2, name="b4")(
+            x, train=train, get_x_bn_relu=True
+        )
+        x = ResBlock(512, 512, 512, name="b4_1")(x, train=train)
+        x = ResBlock(512, 512, 512, name="b4_2")(x, train=train)
+        x = ResBlock(512, 512, 512, name="b4_3")(x, train=train)
+        x = ResBlock(512, 512, 512, name="b4_4")(x, train=train)
+        x = ResBlock(512, 512, 512, name="b4_5")(x, train=train)
+
+        x, conv4 = ResBlock(
+            512, 512, 1024, stride=1, first_dilation=1, dilation=2, name="b5"
+        )(x, train=train, get_x_bn_relu=True)
+        x = ResBlock(1024, 512, 1024, dilation=2, name="b5_1")(x, train=train)
+        x = ResBlock(1024, 512, 1024, dilation=2, name="b5_2")(x, train=train)
+
+        x, conv5 = ResBlockBot(1024, 2048, dilation=4, dropout=0.3, name="b6")(
+            x, train=train, get_x_bn_relu=True
+        )
+        x = ResBlockBot(2048, 4096, dilation=4, dropout=0.5, name="b7")(x, train=train)
+
+        conv6 = jax.nn.relu(BatchNorm2d(4096, name="bn7")(x))
+
+        return {"conv3": conv3, "conv4": conv4, "conv5": conv5, "conv6": conv6}

@@ -1,0 +1,90 @@
+"""Radius-neighborhood pixel-pair machinery for AffinityNet.
+
+TPU-native rebuild of:
+* `tool/pyutils.py:125-159` (`get_indices_of_pairs`) — the static pair-index
+  generator (host-side numpy; indices are compile-time constants).
+* `network/resnet38_aff.py:53-78` — pairwise affinity
+  `exp(-mean|f_to - f_from|)` over the pair lists, and the symmetric dense
+  affinity matrix with identity diagonal.
+
+The pair set for radius r covers the "causal half" of the disc (dy=0, dx>0
+rows plus dy>0 full rows with dx^2+dy^2 < r^2), computed over a frame that is
+cropped so every (from, to) pair stays in-bounds.
+
+Instead of torch's sparse-tensor `to_dense`, the dense matrix is built with a
+static scatter-add (`.at[].add`) which XLA lowers to an efficient scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def search_offsets(radius: int) -> tuple[tuple[int, int], ...]:
+    """Half-disc displacement set, ordered as the reference generates it."""
+    dist = []
+    for x in range(1, radius):
+        dist.append((0, x))
+    for y in range(1, radius):
+        for x in range(-radius + 1, radius):
+            if x * x + y * y < radius * radius:
+                dist.append((y, x))
+    return tuple(dist)
+
+
+@functools.lru_cache(maxsize=64)
+def radius_pair_indices(radius: int, size: tuple[int, int]) -> tuple[np.ndarray, np.ndarray]:
+    """(indices_from, indices_to) flat-pixel index arrays.
+
+    indices_from: (P,) — the cropped frame, raster order.
+    indices_to:   (D*P,) — for each displacement d, the shifted frame.
+    """
+    h, w = size
+    offsets = search_offsets(radius)
+    rf = radius - 1  # radius_floor
+    full = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    crop_h = h - rf
+    crop_w = w - 2 * rf
+    indices_from = full[:-rf, rf:-rf].reshape(-1)
+    to_list = [
+        full[dy : dy + crop_h, rf + dx : rf + dx + crop_w].reshape(-1)
+        for dy, dx in offsets
+    ]
+    return indices_from, np.concatenate(to_list, axis=0)
+
+
+def pairwise_affinity(
+    f: jax.Array, ind_from: jax.Array, ind_to: jax.Array
+) -> jax.Array:
+    """aff = exp(-mean_c |f[to] - f[from]|) for each pair.
+
+    f: (N, HW, C) feature map flattened over pixels (NHWC order).
+    ind_from: (P,), ind_to: (D*P,). Returns (N, D, P).
+    """
+    n, hw, c = f.shape
+    p = ind_from.shape[0]
+    d = ind_to.shape[0] // p
+    ff = jnp.take(f, ind_from, axis=1)  # (N, P, C)
+    ft = jnp.take(f, ind_to, axis=1).reshape(n, d, p, c)
+    return jnp.exp(-jnp.abs(ft - ff[:, None]).mean(axis=-1))
+
+
+def dense_affinity_matrix(
+    aff: jax.Array, ind_from: jax.Array, ind_to: jax.Array, area: int
+) -> jax.Array:
+    """Symmetric (area, area) dense affinity matrix with unit diagonal
+    (network/resnet38_aff.py:65-78). `aff`: (D, P) single-image affinities."""
+    d, p = aff.shape
+    ind_from_exp = jnp.broadcast_to(ind_from[None, :], (d, p)).reshape(-1)
+    ind_to_flat = ind_to.reshape(-1)
+    vals = aff.reshape(-1)
+    mat = jnp.zeros((area, area), dtype=aff.dtype)
+    mat = mat.at[ind_from_exp, ind_to_flat].add(vals)
+    mat = mat.at[ind_to_flat, ind_from_exp].add(vals)
+    mat = mat.at[jnp.arange(area), jnp.arange(area)].add(1.0)
+    return mat

@@ -1,0 +1,88 @@
+"""Bilinear resize / pooling with torch-compatible semantics, TPU-first.
+
+The reference relies on `F.interpolate(..., mode='bilinear')` with both
+`align_corners=True` (train path, e.g. contrast_train.py:131-134,
+network/resnet38_contrast.py:52,57-59) and `align_corners=False`
+(contrast_infer.py:62). `jax.image.resize` implements neither exactly, so we
+build the (out, in) interpolation matrices explicitly and apply them as two
+dense matmuls — separable along H and W. On TPU this maps straight onto the
+MXU and XLA fuses the surrounding elementwise work; it is also exactly
+differentiable (the transpose matmul is the VJP).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _resize_weights_np(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out_size, in_size) row-stochastic linear-interpolation matrix."""
+    if in_size == out_size:
+        return np.eye(out_size, dtype=np.float32)
+    if align_corners and out_size > 1:
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    elif align_corners:  # out_size == 1
+        src = np.zeros((1,), dtype=np.float64)
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+        # torch clamps the source coordinate into the valid range, which for
+        # bilinear is equivalent to clamping the gather indices
+        src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(w, (rows, lo), 1.0 - frac)
+    np.add.at(w, (rows, hi), frac)
+    return w
+
+
+def resize_weights(in_size: int, out_size: int, align_corners: bool) -> jnp.ndarray:
+    return jnp.asarray(_resize_weights_np(int(in_size), int(out_size), bool(align_corners)))
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], align_corners: bool = True) -> jax.Array:
+    """Bilinear-resize the two spatial dims of an NHWC (or HWC / NCHW-free)
+    array to `out_hw`.
+
+    Accepts rank-3 `(H, W, C)` or rank-4 `(N, H, W, C)` arrays; spatial dims
+    are always the two before the channel dim.
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (h, w) == (oh, ow):
+        return x[0] if squeeze else x
+    wh = resize_weights(h, oh, align_corners)
+    ww = resize_weights(w, ow, align_corners)
+    dtype = x.dtype
+    y = jnp.einsum("oh,nhwc->nowc", wh, x.astype(jnp.float32))
+    y = jnp.einsum("pw,nhwc->nhpc", ww, y)
+    y = y.astype(dtype)
+    return y[0] if squeeze else y
+
+
+def avg_pool2d(x: jax.Array, ksize: int) -> jax.Array:
+    """Non-overlapping kxk average pool over NHWC / HWC spatial dims.
+
+    Matches `F.avg_pool2d(x, k, k)` (aff_infer.py:113) and the dataset-side
+    `skimage.measure.block_reduce` mean pool (tool/imutils.py:130-138) when
+    the input is divisible by k (callers pad to multiples of 8 first).
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    assert h % ksize == 0 and w % ksize == 0, (h, w, ksize)
+    y = x.reshape(n, h // ksize, ksize, w // ksize, ksize, c).mean(axis=(2, 4))
+    return y[0] if squeeze else y
