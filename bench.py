@@ -1,0 +1,152 @@
+"""Headline benchmark: multi-scale+flip CAM inference throughput per chip.
+
+Metric (BASELINE.json): "CAM imgs/sec/chip (ms+flip infer)" — images per
+second through the full SEAM+contrast CAM seed inference: 4 scales
+{0.5, 1, 1.5, 2} x {orig, flip} = 8 ResNet-38 forwards per image, fused CAM
+at original resolution (contrast_infer.py:38-80 semantics).
+
+vs_baseline is measured ON THE SAME CHIP against a faithful re-creation of
+the reference's execution model: one device call per view, sequential, with
+per-view host sync and host-side upsample+fusion — what the reference's
+per-image Python thread fan-out over replicas (contrast_infer.py:58-71) does
+on one accelerator. Our number is the fused pipeline (`make_fused_msf_fn`):
+per-scale batched programs with device-side upsample/flip/fusion and a single
+host sync per batch.
+
+Environment note: this TPU is reached through a relay where
+`block_until_ready` does not actually block and bulk device->host transfers
+are slow; timing therefore syncs on a jitted scalar checksum of the output,
+which forces execution while transferring 4 bytes.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--height", type=int, default=384)
+    parser.add_argument("--width", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=4, help="images per fused call")
+    parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--skip_reference_style", action="store_true")
+    parser.add_argument("--cache_dir", default="/tmp/jax_bench_cache")
+    args = parser.parse_args()
+
+    import jax
+
+    # NB: env vars are too late here (jax is already imported by the platform
+    # sitecustomize); the config API still applies.
+    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wseg_tpu.infer.cam import DEFAULT_SCALES, _np_upsample, make_fused_msf_fn
+    from wseg_tpu.models import build_model
+    from wseg_tpu.ops.cam import fuse_msf_cams
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    h0, w0 = args.height, args.width
+    b = args.batch
+
+    model = build_model("contrast")
+    rng = np.random.RandomState(0)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    if dtype != jnp.float32:
+        variables = jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables
+        )
+
+    views = []
+    for s in DEFAULT_SCALES:
+        hs, ws = round(h0 * s), round(w0 * s)
+        views.append(jnp.asarray(rng.rand(b, 2, hs, ws, 3).astype(np.float32), dtype))
+    views = tuple(views)
+    label = jnp.asarray((rng.rand(b, 20) > 0.5).astype(np.float32), dtype)
+
+    fused = make_fused_msf_fn(model, (h0, w0))
+    checksum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+
+    def run_fused():
+        return float(checksum(fused(variables, views, label)))
+
+    t0 = time.perf_counter()
+    run_fused()  # compile (patient: remote compile can take minutes cold)
+    compile_s = time.perf_counter() - t0
+    for _ in range(args.warmup):
+        run_fused()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        run_fused()
+    dt = time.perf_counter() - t0
+    fused_ips = b * args.iters / dt
+
+    ref_ips = None
+    if not args.skip_reference_style:
+        # reference execution model: one device call per view with host sync,
+        # host-side upsample + flip-back + fusion in numpy
+        from wseg_tpu.infer.cam import _np_upsample_ac
+
+        fwd_cache = {}
+
+        def fwd(img):
+            key = img.shape
+            if key not in fwd_cache:
+                fwd_cache[key] = jax.jit(
+                    lambda v, x: model.apply(v, x, raw_cam=True)[1][..., 1:]
+                )
+            # per-view device->host transfer of the stride-8 CAM, like the
+            # reference's per-view .cpu() (contrast_infer.py:63)
+            return np.asarray(fwd_cache[key](variables, img), np.float32)
+
+        def run_reference_style():
+            for bi in range(b):
+                sum_cam = np.zeros((h0, w0, 20), np.float32)
+                for si in range(len(DEFAULT_SCALES)):
+                    vh, vw = views[si].shape[2:4]
+                    for fi in range(2):
+                        cam = fwd(views[si][bi, fi][None])[0]
+                        up = _np_upsample(_np_upsample_ac(cam, (vh, vw)), (h0, w0))
+                        if fi == 1:
+                            up = up[:, ::-1]
+                        sum_cam += up
+                sum_cam *= np.asarray(label[bi], np.float32)[None, None, :]
+                np.asarray(fuse_msf_cams(jnp.asarray(np.transpose(sum_cam, (2, 0, 1)))))
+
+        run_reference_style()  # compile
+        n_ref = max(args.iters // 4, 1)
+        t0 = time.perf_counter()
+        for _ in range(n_ref):
+            run_reference_style()
+        ref_ips = b * n_ref / (time.perf_counter() - t0)
+
+    result = {
+        "metric": "CAM imgs/sec/chip (ms+flip infer)",
+        "value": round(fused_ips, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(fused_ips / ref_ips, 3) if ref_ips else None,
+        "detail": {
+            "image_hw": [h0, w0],
+            "batch": b,
+            "dtype": args.dtype,
+            "reference_style_ips": round(ref_ips, 3) if ref_ips else None,
+            "first_compile_s": round(compile_s, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Random-walk CAM refinement CLI — flag-compatible rebuild of `aff_infer.py`.
+
+Per image: load the CAM dict, fill bg=0.27, refine through the learned
+affinity's T^(2^logt) transition matrix on TPU, write the argmax pseudo-mask
+png (the stage-3 training labels).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weights", required=True, type=str)
+    parser.add_argument("--network", default="affinity", type=str)
+    parser.add_argument("--infer_list", default="voc12/val.txt", type=str)
+    parser.add_argument("--num_workers", default=8, type=int)
+    parser.add_argument("--cam_dir", required=True, type=str)
+    parser.add_argument("--voc12_root", default="VOC2012", type=str)
+    parser.add_argument("--alpha", default=6, type=float)  # kept for flag parity
+    parser.add_argument("--out_rw", default="out_rw", type=str)
+    parser.add_argument("--beta", default=8, type=int)
+    parser.add_argument("--logt", default=6, type=int)
+    parser.add_argument("--bg_score", default=0.27, type=float)
+    parser.add_argument("--bucket", default=64, type=int)
+    args = parser.parse_args(argv)
+
+    import imageio
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from wseg_tpu.data.transforms import Normalize
+    from wseg_tpu.data.voc12 import get_img_path, load_img_name_list
+    from wseg_tpu.infer.rw import RandomWalkRefiner
+    from wseg_tpu.models import build_model
+    from wseg_tpu.utils.checkpoint import load_checkpoint, load_pretrained, merge_params
+    from wseg_tpu.utils.logging import Timer
+
+    os.makedirs(args.out_rw, exist_ok=True)
+
+    model = build_model(args.network)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    if args.weights.endswith(".ckpt"):
+        variables = load_checkpoint(args.weights, dict(variables))
+    else:
+        lp, ls = load_pretrained(args.weights)
+        variables = {
+            "params": merge_params(variables["params"], lp),
+            "batch_stats": merge_params(variables["batch_stats"], ls),
+        }
+
+    refiner = RandomWalkRefiner(
+        model, variables, beta=args.beta, logt=args.logt, bucket=args.bucket
+    )
+    normalize = Normalize()
+    name_list = load_img_name_list(args.infer_list)
+    timer = Timer("RW infer started: ")
+
+    for idx, name in enumerate(name_list):
+        img = np.array(Image.open(get_img_path(name, args.voc12_root)).convert("RGB"))
+        h, w = img.shape[:2]
+        cam_dict = np.load(
+            os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
+        ).item()
+        cam_full = np.zeros((h, w, 21), np.float32)
+        for k, v in cam_dict.items():
+            cam_full[..., k + 1] = v
+        cam_full[..., 0] = args.bg_score
+
+        pred = refiner.refine_one(normalize(img), cam_full)
+        imageio.imwrite(os.path.join(args.out_rw, name + ".png"), pred)
+
+        if (idx + 1) % 50 == 0:
+            timer.update_progress((idx + 1) / len(name_list))
+            print(f"{idx + 1}/{len(name_list)}, fin: {timer.str_est_finish()}", flush=True)
+
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Build low/high-alpha CRF pseudo labels for AffinityNet training —
+flag-compatible rebuild of `aff_prepare.py`.
+
+Fixes the reference's latent bug where every alpha in alpha_list was run with
+`args.alpha` (aff_prepare.py:76-81): here each alpha in the list actually
+produces its own output dir (pass --alpha to run a single value instead).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--infer_list", default="voc12/train_aug.txt", type=str)
+    parser.add_argument("--num_workers", default=8, type=int)
+    parser.add_argument("--voc12_root", default="VOC2012", type=str)
+    parser.add_argument("--cam_dir", required=True, type=str)
+    parser.add_argument("--out_crf", required=True, type=str)
+    parser.add_argument("--crf_iters", default=10, type=int)
+    parser.add_argument("--alpha", default=None, type=float,
+                        help="single alpha; default runs the [4,8,16,24,32] sweep")
+    args = parser.parse_args(argv)
+
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    from wseg_tpu.data.voc12 import get_img_path, load_img_name_list
+    from wseg_tpu.infer.crf_post import crf_with_alpha
+
+    name_list = load_img_name_list(args.infer_list)
+    alpha_list = [args.alpha] if args.alpha is not None else [4, 8, 16, 24, 32]
+
+    for alpha in alpha_list:
+        crf_folder = os.path.join(args.out_crf, "%.2f" % alpha)
+        os.makedirs(crf_folder, exist_ok=True)
+
+        def work(name, alpha=alpha, crf_folder=crf_folder):
+            cam_dict = np.load(
+                os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
+            ).item()
+            crf = crf_with_alpha(
+                cam_dict, get_img_path(name, args.voc12_root), alpha, t=args.crf_iters
+            )
+            np.save(os.path.join(crf_folder, name + ".npy"), crf)
+
+        with ThreadPoolExecutor(max_workers=args.num_workers) as pool:
+            list(pool.map(work, name_list))
+        print(f"Info: Alpha {alpha} done!", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Stage-3 DeepLab retraining CLI.
+
+Rebuild of `segmentation/experiment/*/train.py` as one driver parameterized
+by experiment name (--exp SEAM_deeplabv1_resnet38 | EPS_deeplabv1_resnet101 |
+EPS_deeplabv2_resnet101) with config overrides via flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--exp", default="SEAM_deeplabv1_resnet38",
+                        help="experiment preset name")
+    parser.add_argument("--data_root", default="VOC2012")
+    parser.add_argument("--pseudo_gt", default="", help="DATA_PSEUDO_GT dir")
+    parser.add_argument("--train_ckpt", default="")
+    parser.add_argument("--backbone_weights", default="",
+                        help="stage-1 backbone checkpoint (.ckpt or .pth)")
+    parser.add_argument("--iterations", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--crop", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    import random
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wseg_tpu.data.loader import DataLoader
+    from wseg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from wseg_tpu.seg.config import EXPERIMENTS
+    from wseg_tpu.seg.dataset import generate_dataset
+    from wseg_tpu.seg.deeplab import generate_net, seg_param_labels
+    from wseg_tpu.train.optim import poly_sgd
+    from wseg_tpu.train.seg import SegTrainState, make_seg_train_step
+    from wseg_tpu.utils.checkpoint import (
+        load_checkpoint, load_pretrained, merge_params, save_checkpoint,
+    )
+    from wseg_tpu.utils.logging import Logger, ScalarWriter, Timer
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    cfg = EXPERIMENTS[args.exp].replace(DATA_ROOT=args.data_root)
+    if args.pseudo_gt:
+        cfg = cfg.replace(DATA_PSEUDO_GT=args.pseudo_gt)
+    if args.iterations:
+        cfg = cfg.replace(TRAIN_ITERATION=args.iterations)
+    if args.batch_size:
+        cfg = cfg.replace(TRAIN_BATCHES=args.batch_size)
+    if args.lr:
+        cfg = cfg.replace(TRAIN_LR=args.lr)
+    if args.crop:
+        cfg = cfg.replace(DATA_RANDOMCROP=args.crop)
+    if args.train_ckpt:
+        cfg = cfg.replace(TRAIN_CKPT=args.train_ckpt)
+    if args.backbone_weights:
+        cfg = cfg.replace(MODEL_BACKBONE_WEIGHTS=args.backbone_weights)
+
+    os.makedirs(cfg.MODEL_SAVE_DIR, exist_ok=True)
+    Logger(os.path.join(cfg.LOG_DIR, "train.log"))
+    print(cfg)
+
+    dataset = generate_dataset(cfg, period="train", transform="weak")
+
+    def collate(samples):
+        return (
+            np.stack([s["image"] for s in samples]),
+            np.stack([s["segmentation"] for s in samples]),
+        )
+
+    loader = DataLoader(dataset, cfg.TRAIN_BATCHES, shuffle=cfg.TRAIN_SHUFFLE,
+                        drop_last=True, num_workers=cfg.DATA_WORKERS,
+                        collate=collate, seed=args.seed)
+
+    model = generate_net(cfg)
+    rng = jax.random.PRNGKey(args.seed)
+    crop = cfg.DATA_RANDOMCROP
+    variables = model.init(
+        {"params": rng, "dropout": rng}, jnp.zeros((1, crop, crop, 3), jnp.float32)
+    )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    if cfg.MODEL_BACKBONE_WEIGHTS:
+        # overlay a stage-1 backbone checkpoint onto params['backbone']
+        if cfg.MODEL_BACKBONE_WEIGHTS.endswith(".ckpt"):
+            loaded = load_checkpoint(
+                cfg.MODEL_BACKBONE_WEIGHTS, {"params": params, "batch_stats": batch_stats}
+            )
+            lp, ls = loaded["params"], loaded["batch_stats"]
+        else:
+            lp, ls = load_pretrained(cfg.MODEL_BACKBONE_WEIGHTS)
+        # stage-1 trees root at 'backbone'; seg resnet38 nests it one deeper
+        if cfg.MODEL_BACKBONE == "resnet38" and "backbone" in lp:
+            lp = {"backbone": {"resnet38": lp["backbone"]}}
+            ls = {"backbone": {"resnet38": ls.get("backbone", {})}}
+        params = merge_params(params, lp)
+        batch_stats = merge_params(batch_stats, ls)
+        print(f"loaded backbone weights from {cfg.MODEL_BACKBONE_WEIGHTS}")
+
+    if cfg.TRAIN_CKPT:
+        loaded = load_checkpoint(
+            cfg.TRAIN_CKPT, {"params": params, "batch_stats": batch_stats}
+        )
+        params, batch_stats = loaded["params"], loaded["batch_stats"]
+        print(f"resumed from {cfg.TRAIN_CKPT}")
+
+    max_itr = cfg.TRAIN_ITERATION
+    tx = poly_sgd(
+        cfg.TRAIN_LR, cfg.TRAIN_WEIGHT_DECAY, max_step=max_itr + 1,
+        power=cfg.TRAIN_POWER, momentum=cfg.TRAIN_MOMENTUM,
+        labels=seg_param_labels(params),
+    )
+    state = SegTrainState(params, tx.init(params), batch_stats, rng)
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    step_fn = make_seg_train_step(model, tx)
+
+    tblogger = ScalarWriter(cfg.LOG_DIR)
+    timer = Timer("Seg train started: ")
+    itr = cfg.TRAIN_MINEPOCH * (len(dataset) // cfg.TRAIN_BATCHES)
+    max_epoch = max_itr * cfg.TRAIN_BATCHES // len(dataset) + 1
+
+    done = False
+    for epoch in range(cfg.TRAIN_MINEPOCH, max_epoch):
+        if done:
+            break
+        for imgs, segs in loader:
+            batch = shard_batch(mesh, (imgs, segs))
+            state, metrics = step_fn(state, *batch)
+            if itr % 100 == 0:
+                now_lr = cfg.TRAIN_LR * (1 - itr / (max_itr + 1)) ** cfg.TRAIN_POWER
+                loss = float(metrics["loss"])
+                timer.update_progress(max(itr, 1) / max_itr)
+                print(f"itr:{itr}/{max_itr} loss:{loss:.4f} lr:{now_lr:.6f} "
+                      f"fin:{timer.str_est_finish()}", flush=True)
+                tblogger.add_scalar("loss", loss, itr)
+                tblogger.add_scalar("lr", now_lr, itr)
+            itr += 1
+            if itr >= max_itr:
+                done = True
+                break
+        ckpt = os.path.join(
+            cfg.MODEL_SAVE_DIR,
+            f"{cfg.MODEL_NAME}_{cfg.MODEL_BACKBONE}_{cfg.DATA_NAME}_epoch{epoch}.ckpt",
+        )
+        save_checkpoint(ckpt, {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        })
+        print(f"{ckpt} has been saved")
+        prev = os.path.join(
+            cfg.MODEL_SAVE_DIR,
+            f"{cfg.MODEL_NAME}_{cfg.MODEL_BACKBONE}_{cfg.DATA_NAME}_epoch{epoch - 1}.ckpt",
+        )
+        if os.path.exists(prev):
+            os.remove(prev)
+
+    final = os.path.join(
+        cfg.MODEL_SAVE_DIR,
+        f"{cfg.MODEL_NAME}_{cfg.MODEL_BACKBONE}_{cfg.DATA_NAME}_itr{max_itr}_all.ckpt",
+    )
+    save_checkpoint(final, {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    })
+    print(f"{final} has been saved")
+
+
+if __name__ == "__main__":
+    main()

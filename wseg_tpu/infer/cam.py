@@ -47,6 +47,13 @@ def _np_upsample(cam: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     return np.einsum("oh,hwc->owc", wh, np.einsum("pw,hwc->hpc", ww, cam))
 
 
+def _np_upsample_ac(cam: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """(h, w, C) -> (H, W, C) bilinear align_corners=True on host."""
+    wh = _resize_weights_np(cam.shape[0], out_hw[0], True)
+    ww = _resize_weights_np(cam.shape[1], out_hw[1], True)
+    return np.einsum("oh,hwc->owc", wh, np.einsum("pw,hwc->hpc", ww, cam))
+
+
 class CamInferencer:
     """Variable-size MSF CAM inference with shape-bucketed compiled programs."""
 
@@ -59,8 +66,10 @@ class CamInferencer:
     @functools.lru_cache(maxsize=None)
     def _forward(self, h: int, w: int):
         def f(variables, imgs):
-            cam = self.model.apply(variables, imgs)[0]  # (B, h/8, w/8, 21)
-            return cam[..., 1:]  # foreground channels (contrast_infer.py:62)
+            # stride-8 PCM-refined CAM (inference consumes cam_rv,
+            # contrast_infer.py:61-62); fg channels only
+            _, cam_rv_down = self.model.apply(variables, imgs, raw_cam=True)
+            return cam_rv_down[..., 1:]
 
         return jax.jit(f)
 
@@ -79,9 +88,12 @@ class CamInferencer:
                 ph, pw = _round_up(h, self.bucket), _round_up(w, self.bucket)
                 pair = np.pad(pair, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
             cam = np.asarray(self._forward(*pair.shape[1:3])(self.variables, pair))
-            cam = cam[:, : _ceil8(h), : _ceil8(w)]  # valid region
+            cam = cam[:, : _ceil8(h), : _ceil8(w)]  # valid stride-8 region
             for i in range(2):
-                up = _np_upsample(cam[i], (h0, w0))
+                # reference resize chain: stride-8 -> view size (a=True,
+                # resnet38_contrast.py:57-58) -> original size (a=False, :62)
+                up = _np_upsample_ac(cam[i], (h, w))
+                up = _np_upsample(up, (h0, w0))
                 if i == 1:
                     up = up[:, ::-1]
                 sum_cam += up
@@ -91,29 +103,45 @@ class CamInferencer:
 
 
 def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES):
-    """One jitted program: per-scale batched forwards + device-side upsample
-    (align_corners=False), flip-back, label mask, sum, min/max normalize.
+    """Device-side MSF fusion as a pipeline of jitted programs: one per scale
+    (forward + upsample align_corners=False + flip-back + flip-pair sum) and
+    one fusion program (scale sum + label mask + min/max normalize).
 
-    fn(variables, views, label) with views = tuple over scales of
+    Splitting per scale keeps each XLA program small enough to compile fast
+    and lets the per-scale dispatches overlap; JAX queues them back-to-back
+    on the chip so there is no host sync until the final result.
+
+    Returns fn(variables, views, label) with views = tuple over scales of
     (B, 2, h_s, w_s, 3), label (B, 20) -> (B, 20, H, W).
     """
     h0, w0 = orig_hw
 
-    def fn(variables, views, label):
-        total = None
-        for v in views:
-            b, two, h, w, _ = v.shape
-            cam = model.apply(variables, v.reshape(b * 2, h, w, 3))[0][..., 1:]
-            cam = resize_bilinear(cam, (h0, w0), align_corners=False)
-            cam = cam.reshape(b, 2, h0, w0, 20)
-            cam = cam.at[:, 1].set(cam[:, 1, :, ::-1])
-            s = cam.sum(axis=1)
-            total = s if total is None else total + s
+    @jax.jit
+    def per_scale(variables, v):
+        b, two, h, w, _ = v.shape
+        _, cam_rv_down = model.apply(
+            variables, v.reshape(b * 2, h, w, 3), raw_cam=True
+        )
+        cam = cam_rv_down[..., 1:]
+        # reference resize chain: stride-8 -> view (a=True) -> original (a=False)
+        cam = resize_bilinear(cam, (h, w), align_corners=True)
+        cam = resize_bilinear(cam, (h0, w0), align_corners=False)
+        cam = cam.reshape(b, 2, h0, w0, 20)
+        cam = cam.at[:, 1].set(cam[:, 1, :, ::-1])
+        return cam.sum(axis=1)
+
+    @jax.jit
+    def fuse(partials, label):
+        total = sum(partials[1:], partials[0])
         total = total * label[:, None, None, :]
         total = jnp.transpose(total, (0, 3, 1, 2))  # (B, 20, H, W)
         return jax.vmap(fuse_msf_cams)(total)
 
-    return jax.jit(fn)
+    def fn(variables, views, label):
+        partials = tuple(per_scale(variables, v) for v in views)
+        return fuse(partials, label)
+
+    return fn
 
 
 def make_views_for_image(img_hwc: np.ndarray, scales=DEFAULT_SCALES) -> list[np.ndarray]:

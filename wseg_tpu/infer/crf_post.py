@@ -1,0 +1,67 @@
+"""CRF post-processing entry points for the inference CLIs.
+
+`crf_from_cam_dict` reproduces contrast_infer.py:102-134: assemble the
+21-channel tensor from the cam dict with constant bg score, argmax to a hard
+labeling, run the label-unary dense CRF (gt_prob .7, Gaussian sxy3/compat3,
+bilateral sxy50/srgb5/compat10), argmax, save png.
+
+`crf_with_alpha` reproduces aff_prepare.py:53-73: bg score
+(1 - max cam)^alpha, label-unary CRF with the AdvCAM parameterization
+(bilateral sxy80/srgb13), saving the (21, H, W) score array.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from wseg_tpu.ops.densecrf import crf_inference_labels
+
+
+def _assemble(cam_dict: dict, bg_score: np.ndarray | float, n_labels: int = 21):
+    h, w = next(iter(cam_dict.values())).shape
+    tensor = np.zeros((n_labels, h, w), np.float32)
+    for key, cam in cam_dict.items():
+        tensor[key + 1] = cam
+    tensor[0] = bg_score
+    return tensor
+
+
+def crf_from_cam_dict(
+    cam_dict: dict, img_path: str, out_path: str, bg_score: float = 0.26,
+    t: int = 10, gt_prob: float = 0.7,
+) -> np.ndarray:
+    import imageio
+
+    tensor = _assemble(cam_dict, bg_score)
+    predict = np.argmax(tensor, axis=0).astype(np.uint8)
+    img = np.array(Image.open(img_path).convert("RGB"))
+    crf_score = crf_inference_labels(
+        img, predict, t=t, gt_prob=gt_prob,
+        sxy_gaussian=3, compat_gaussian=3,
+        sxy_bilateral=50, srgb=5, compat_bilateral=10,
+    )
+    pred = np.argmax(crf_score, axis=0).astype(np.uint8)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    imageio.imsave(out_path, pred)
+    return pred
+
+
+def crf_with_alpha(
+    cam_dict: dict, img_path: str, alpha: float, t: int = 10, gt_prob: float = 0.7,
+) -> np.ndarray:
+    """(21, H, W) CRF score array for one image at the given bg alpha."""
+    h, w = next(iter(cam_dict.values())).shape
+    tensor = np.zeros((21, h, w), np.float32)
+    for key, cam in cam_dict.items():
+        tensor[key + 1] = cam
+    tensor[0] = np.power(1 - np.max(tensor, axis=0, keepdims=False), alpha)
+    predict = np.argmax(tensor, axis=0).astype(np.uint8)
+    img = np.array(Image.open(img_path).convert("RGB"))
+    return crf_inference_labels(
+        img, predict, t=t, gt_prob=gt_prob,
+        sxy_gaussian=3, compat_gaussian=3,
+        sxy_bilateral=80, srgb=13, compat_bilateral=10,
+    )

@@ -30,7 +30,13 @@ class ContrastNet(nn.Module):
     proj_dim: int = 128
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False):
+    def __call__(self, x: jax.Array, *, train: bool = False, raw_cam: bool = False):
+        """raw_cam=True: return the stride-8 (cam, cam_rv_down) pair without
+        the final upsamples — the efficient inference path. NB: CAM seed
+        inference consumes the PCM-REFINED cam_rv (`_, cam, ... = model(img)`
+        unpacks the second output, contrast_infer.py:61-62); callers resize
+        cam_rv_down to the view size (align_corners=True, matching :57-58)
+        and then to the original image size (align_corners=False, :62)."""
         n, h_in, w_in, _ = x.shape
         d = ResNet38(name="backbone")(x, train=train)
         fea = Dropout2d(0.5, name="dropout7")(d["conv6"], deterministic=not train)
@@ -51,6 +57,8 @@ class ContrastNet(nn.Module):
         f = conv(192, 1, kernel_init=xavier_uniform(gain=4.0), name="f9")(f)
 
         cam_rv_down = pcm(cam_d_norm, f)
+        if raw_cam:
+            return cam, cam_rv_down
         cam_rv = resize_bilinear(cam_rv_down, (h_in, w_in), align_corners=True)
         cam_up = resize_bilinear(cam, (h_in, w_in), align_corners=True)
 

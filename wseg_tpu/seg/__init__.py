@@ -1,0 +1,2 @@
+from wseg_tpu.seg.config import SegConfig, EXPERIMENTS
+from wseg_tpu.seg import deeplab, backbones  # register nets/backbones
