@@ -1,0 +1,89 @@
+"""Data layer tests: list parsing, label extraction, transforms, loader,
+affinity label extraction parity."""
+
+import os
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from wseg_tpu.data import transforms as T
+from wseg_tpu.data.affinity_labels import ExtractAffinityLabelInRadius
+from wseg_tpu.data.loader import DataLoader
+from wseg_tpu.data.voc12 import load_img_name_list
+
+
+def test_load_img_name_list_both_formats(tmp_path):
+    ref_fmt = tmp_path / "ref.txt"
+    ref_fmt.write_text(
+        "/JPEGImages/2007_000032.jpg /SegmentationClassAug/2007_000032.png\n"
+        "/JPEGImages/2011_003276.jpg /SegmentationClassAug/2011_003276.png\n"
+    )
+    bare = tmp_path / "bare.txt"
+    bare.write_text("2007_000032\n2011_003276\n")
+    assert load_img_name_list(str(ref_fmt)) == ["2007_000032", "2011_003276"]
+    assert load_img_name_list(str(bare)) == ["2007_000032", "2011_003276"]
+
+
+def test_random_crop_pads_small_images():
+    crop = T.RandomCrop(64)
+    arr = np.ones((32, 40, 3), np.float32)
+    out = crop(arr)
+    assert out.shape == (64, 64, 3)
+    assert out.sum() == 32 * 40 * 3  # content preserved, zero pad
+
+
+def test_center_crop():
+    cc = T.CenterCrop(8, default_value=255)
+    arr = np.zeros((4, 12), np.uint8)
+    out = cc(arr)
+    assert out.shape == (8, 8)
+    assert (out[:2] == 255).all() and (out[2:6, :] == 0).all()
+
+
+def test_msf_views_shapes():
+    img = PIL.Image.fromarray(np.zeros((90, 120, 3), np.uint8))
+    views = T.msf_views(img, (0.5, 1.0, 1.5, 2.0))
+    assert len(views) == 8
+    assert views[0].shape == (45, 60, 3)
+    assert views[2].shape == (90, 120, 3)
+    assert views[6].shape == (180, 240, 3)
+    np.testing.assert_array_equal(views[1], views[0][:, ::-1])
+
+
+def test_extract_affinity_label_matches_reference_semantics():
+    """Transcribed check of voc12/data.py:149-199 on a hand-made label map."""
+    rng = np.random.RandomState(0)
+    label = rng.choice([0, 1, 2, 255], size=(16, 16), p=[0.4, 0.3, 0.2, 0.1]).astype(
+        np.uint8
+    )
+    ex = ExtractAffinityLabelInRadius(cropsize=16, radius=5)
+    bg_pos, fg_pos, neg = ex(label)
+    d = len(ex.search_dist)
+    p = (16 - 4) * (16 - 8)
+    assert bg_pos.shape == fg_pos.shape == neg.shape == (d, p)
+    # a pair is at most one of fg_pos / neg; bg_pos doesn't use the valid mask
+    assert ((fg_pos + neg) <= 1).all()
+    # spot check pair 0 (offset (0,1)): labels_from=label[:-4,4:-4]
+    lf = label[:-4, 4:-4].reshape(-1)
+    lt = label[0:12, 5:13].reshape(-1)
+    np.testing.assert_array_equal(
+        bg_pos[0], np.logical_and(lf == lt, lf == 0).astype(np.float32)
+    )
+
+
+def test_loader_prefetch_and_collate():
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return f"n{i}", np.full((4, 4, 3), i, np.float32), np.eye(20)[i % 20].astype(np.float32)
+
+    loader = DataLoader(DS(), batch_size=4, shuffle=True, drop_last=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    names, imgs, labels = batches[0]
+    assert imgs.shape == (4, 4, 4, 3)
+    assert labels.shape == (4, 20)
+    assert len(names) == 4

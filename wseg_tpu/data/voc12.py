@@ -169,6 +169,71 @@ class VOC12ClsDatasetMSF(VOC12ClsDataset):
         return name, views, self.label_list[idx], (img.size[1], img.size[0])
 
 
+class VOC12ClsDatasetMS(VOC12ClsDataset):
+    """Multi-scale views WITHOUT flips (voc12/data.py:123-147)."""
+
+    def __init__(self, img_name_list_path, voc12_root, scales=(0.5, 1.0, 1.5, 2.0),
+                 unit=1, cls_labels_path=None):
+        super().__init__(img_name_list_path, voc12_root, None, cls_labels_path)
+        self.scales = scales
+        self.unit = unit
+        self.normalize = T.Normalize()
+
+    def __getitem__(self, idx: int):
+        name, img = self._load(idx)
+        views = T.msf_views(img, self.scales, self.unit)[::2]  # drop flips
+        views = [self.normalize(v) for v in views]
+        return name, views, self.label_list[idx], (img.size[1], img.size[0])
+
+
+class VOC12SaliencyDataset(VOC12ClsDataset):
+    """Classification dataset with an aligned saliency map channel — the
+    `eps` branch's dataset variant (voc12/voc_saliency.py:59-86). Saliency
+    maps are grayscale pngs in `saliency_root`; the same geometric transforms
+    are applied jointly to image and map."""
+
+    def __init__(self, img_name_list_path, voc12_root, saliency_root,
+                 crop_size=448, min_long=448, max_long=768, cls_labels_path=None):
+        super().__init__(img_name_list_path, voc12_root, None, cls_labels_path)
+        self.saliency_root = saliency_root
+        self.crop = T.RandomCrop(crop_size)
+        self.jitter = T.ColorJitter(0.3, 0.3, 0.3, 0.1)
+        self.normalize = T.Normalize()
+        self.min_long = min_long
+        self.max_long = max_long
+
+    def __getitem__(self, idx: int):
+        import random as _random
+
+        import PIL.Image
+
+        name, img = self._load(idx)
+        sal = PIL.Image.open(
+            os.path.join(self.saliency_root, name + ".png")
+        ).convert("L")
+
+        target_long = _random.randint(self.min_long, self.max_long)
+        w, h = img.size
+        if w < h:
+            shape = (int(round(w * target_long / h)), target_long)
+        else:
+            shape = (target_long, int(round(h * target_long / w)))
+        img = img.resize(shape, PIL.Image.BICUBIC)
+        sal = sal.resize(shape, PIL.Image.BICUBIC)
+
+        if bool(_random.getrandbits(1)):
+            img = img.transpose(PIL.Image.FLIP_LEFT_RIGHT)
+            sal = sal.transpose(PIL.Image.FLIP_LEFT_RIGHT)
+        img = self.jitter(img)
+
+        arr = self.normalize(img)
+        sal_arr = np.asarray(sal, np.float32)[..., None] / 255.0
+        box = self.crop.get_box(*arr.shape[:2])
+        arr = self.crop.apply(arr, box)
+        sal_arr = self.crop.apply(sal_arr, box)
+        return name, arr, sal_arr, self.label_list[idx]
+
+
 class VOC12AffDataset(VOC12ImageDataset):
     """AffinityNet training samples (voc12/data.py:201-261): image + fused
     la/ha CRF pseudo label -> joint aug -> 8x pooled label -> radius-pair

@@ -28,6 +28,10 @@ from wseg_tpu.utils.registry import MODELS
 class ContrastNet(nn.Module):
     num_classes: int = 21
     proj_dim: int = 128
+    # inference-only: route PCM through the fused Pallas kernel
+    # (kernels/pcm_pallas.py) that never materializes the hw x hw affinity;
+    # training always uses the differentiable XLA formulation
+    fused_pcm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False, raw_cam: bool = False):
@@ -56,7 +60,12 @@ class ContrastNet(nn.Module):
         f = jnp.concatenate([x_s, f8_3, f8_4], axis=-1)  # 3+64+128 = 195
         f = conv(192, 1, kernel_init=xavier_uniform(gain=4.0), name="f9")(f)
 
-        cam_rv_down = pcm(cam_d_norm, f)
+        if self.fused_pcm and not train:
+            from wseg_tpu.kernels.pcm_pallas import pcm_fused_nhwc
+
+            cam_rv_down = pcm_fused_nhwc(cam_d_norm, f)
+        else:
+            cam_rv_down = pcm(cam_d_norm, f)
         if raw_cam:
             return cam, cam_rv_down
         cam_rv = resize_bilinear(cam_rv_down, (h_in, w_in), align_corners=True)

@@ -27,6 +27,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from wseg_tpu.ops.topk import bottomk_relu_sum, topk_sum
+
 
 def multilabel_soft_margin_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """mean_n mean_c [-(y log sigmoid(x) + (1-y) log sigmoid(-x))]."""
@@ -39,20 +41,19 @@ def multilabel_soft_margin_loss(logits: jax.Array, targets: jax.Array) -> jax.Ar
 
 def adaptive_min_pooling_loss(x: jax.Array) -> jax.Array:
     """x: (N, H, W, C) foreground CAM slice. Per-sample: channel max, then
-    the mean of the k = H*W//4 smallest (relu'd) spatial values."""
+    the mean of the k = H*W//4 smallest (relu'd) spatial values. Selection by
+    exact bit-bisection (ops/topk.py) instead of a 200k-element sort."""
     n, h, w, c = x.shape
     k = h * w // 4
     m = x.max(axis=-1).reshape(n, h * w)
-    smallest = jax.lax.sort(m, dimension=1)[:, :k]
-    return jax.nn.relu(smallest).sum() / (k * n)
+    return bottomk_relu_sum(m, k) / (k * n)
 
 
 def topk_mean(x: jax.Array, k: int) -> jax.Array:
     """Mean of the k largest entries per row of (N, M), then mean over rows —
-    the ECR reduction (contrast_train.py:170-171)."""
+    the ECR reduction (contrast_train.py:170-171). Exact sort-free selection."""
     n, m = x.shape
-    topk = jax.lax.sort(x, dimension=1)[:, m - k :]
-    return topk.mean()
+    return topk_sum(x, k).sum() / (k * n)
 
 
 def ecr_loss(cam_other: jax.Array, cam_rv: jax.Array, frac: float = 0.2) -> jax.Array:

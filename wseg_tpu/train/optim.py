@@ -115,3 +115,57 @@ def poly_sgd(
 def current_lr(state: PolySGDState, base_lr: float, max_step: int, power: float = 0.9) -> float:
     frac = min(int(state.step), max_step) / max_step
     return base_lr * (1.0 - frac) ** power
+
+
+class PolyAdamState(NamedTuple):
+    step: jax.Array
+    mu: Any
+    nu: Any
+
+
+def poly_adam(
+    base_lr: float,
+    weight_decay: float,
+    max_step: int,
+    power: float = 0.9,
+    betas: tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    labels: Any = None,
+) -> optax.GradientTransformation:
+    """Poly-decayed Adam with the same per-group lr/wd multipliers — rebuild
+    of `tool/torchutils.py:36-58` (PolyAdam; torch Adam with L2-style
+    weight_decay added to the gradient)."""
+
+    b1, b2 = betas
+
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return PolyAdamState(step=jnp.zeros((), jnp.int32), mu=z,
+                             nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        lbls = labels if labels is not None else label_params(params)
+        frac = jnp.minimum(state.step, max_step).astype(jnp.float32) / max_step
+        lr_t = base_lr * (1.0 - frac) ** power
+        t = state.step + 1
+
+        def upd(g, p, mu, nu, lbl):
+            mult, use_wd = GROUP_SPECS[lbl]
+            if mult == 0.0:
+                return jnp.zeros_like(p), mu, nu
+            d = g + (weight_decay if use_wd else 0.0) * p
+            mu = b1 * mu + (1 - b1) * d
+            nu = b2 * nu + (1 - b2) * jnp.square(d)
+            mu_hat = mu / (1 - b1 ** t.astype(jnp.float32))
+            nu_hat = nu / (1 - b2 ** t.astype(jnp.float32))
+            return -lr_t * mult * mu_hat / (jnp.sqrt(nu_hat) + eps), mu, nu
+
+        out = jax.tree.map(upd, grads, params, state.mu, state.nu, lbls,
+                           is_leaf=lambda x: isinstance(x, jax.Array))
+        is_t = lambda x: isinstance(x, tuple)
+        updates = jax.tree.map(lambda o: o[0], out, is_leaf=is_t)
+        mu = jax.tree.map(lambda o: o[1], out, is_leaf=is_t)
+        nu = jax.tree.map(lambda o: o[2], out, is_leaf=is_t)
+        return updates, PolyAdamState(step=t, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
