@@ -36,6 +36,8 @@ def main():
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--fused_pcm", action="store_true",
+                        help="route PCM through the fused Pallas kernel")
     parser.add_argument("--skip_reference_style", action="store_true")
     parser.add_argument("--cache_dir", default="/tmp/jax_bench_cache")
     args = parser.parse_args()
@@ -59,7 +61,7 @@ def main():
     h0, w0 = args.height, args.width
     b = args.batch
 
-    model = build_model("contrast")
+    model = build_model("contrast", fused_pcm=args.fused_pcm)
     rng = np.random.RandomState(0)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -156,6 +158,7 @@ def main():
             "image_hw": [h0, w0],
             "batch": b,
             "dtype": args.dtype,
+            "fused_pcm": args.fused_pcm,
             "reference_style_ips": round(ref_ips, 3) if ref_ips else None,
             "first_compile_s": round(compile_s, 1),
             "transfer_note": "baseline syncs per view via scalar checksum; "

@@ -34,6 +34,12 @@ def main(argv=None):
                         help="SGD momentum; reference-equivalent default "
                         "(see train/optim.py docstring)")
     parser.add_argument("--seed", default=1, type=int)
+    parser.add_argument("--profile_dir", default="", type=str,
+                        help="capture a jax.profiler trace of steps 10-15")
+    parser.add_argument("--save_every_epoch", action="store_true",
+                        help="checkpoint per epoch (reference saves only at the end)")
+    parser.add_argument("--resume", default="", type=str,
+                        help="resume params+opt state from a .ckpt")
     args = parser.parse_args(argv)
 
     import jax
@@ -46,7 +52,9 @@ def main(argv=None):
     from wseg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from wseg_tpu.train.contrast import TrainState, make_train_step
     from wseg_tpu.train.optim import label_params, poly_sgd
-    from wseg_tpu.utils.checkpoint import load_pretrained, merge_params, save_checkpoint
+    from wseg_tpu.utils.checkpoint import (
+        load_checkpoint, load_pretrained, merge_params, save_checkpoint,
+    )
     from wseg_tpu.utils.logging import AverageMeter, Logger, ScalarWriter, Timer
 
     Logger(os.path.join("result", args.session_name, "contrast.log"))
@@ -81,10 +89,15 @@ def main(argv=None):
         labels=label_params(params),
     )
     state = TrainState(params, tx.init(params), batch_stats, rng)
+    if args.resume:
+        state = load_checkpoint(args.resume, state)
+        print(f"resumed full train state from {args.resume}")
 
     mesh = make_mesh()
     state = replicate(mesh, state)
     step_fn = make_train_step(model, tx, args.bg_threshold)
+
+    from wseg_tpu.utils.profiling import trace
 
     avg_meter = AverageMeter()
     timer = Timer("Session started: ")
@@ -95,6 +108,11 @@ def main(argv=None):
             batch = shard_batch(
                 mesh, (imgs.astype(np.float32), np.stack(labels).astype(np.float32))
             )
+            if args.profile_dir and global_step == 10:
+                profiler_ctx = trace(args.profile_dir)
+                profiler_ctx.__enter__()
+            if args.profile_dir and global_step == 15:
+                profiler_ctx.__exit__(None, None, None)
             state, metrics = step_fn(state, *batch)
             global_step += 1
 
@@ -122,6 +140,10 @@ def main(argv=None):
                 avg_meter.pop()
         print("")
         timer.reset_stage()
+        if args.save_every_epoch:
+            ep_ckpt = os.path.join("result", args.session_name, "contrast_train.ckpt")
+            save_checkpoint(ep_ckpt, jax.device_get(state))
+            print(f"epoch {ep}: saved resumable state to {ep_ckpt}")
 
     print(args.session_name)
     out = os.path.join("result", args.session_name, "contrast.ckpt")

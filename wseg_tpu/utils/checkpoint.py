@@ -104,28 +104,157 @@ def convert_torch_checkpoint(pth_path: str) -> tuple[dict, dict]:
 
 # ---------------------------------------------------------------------------
 # MXNet .params reader (pure numpy — mxnet is not installed here).
-# Format: NDArray legacy save — uint64 magic 0x112, uint64 reserved, uint64
-# count, per-array [legacy header], then uint64 name count + names.
+#
+# File layout (mxnet `NDArray::Save` list format): uint64 list magic 0x112,
+# uint64 reserved, uint64 count, then per array a legacy NDArray record, then
+# uint64 name count + (uint64 len, bytes) names. NDArray records come in
+# several vintages; this reader handles the ones seen in the wild:
+#   V2/V3 magic (0xF993FAC9 / 0xF993FACA): [int32 stype (V2+)], uint32 ndim,
+#     dims (uint32 for V2, int64 for V3), int32 dev_type, int32 dev_id,
+#     int32 dtype, raw data
+#   legacy (no magic): TShape as uint32 ndim + uint32 dims, context, dtype.
 # ---------------------------------------------------------------------------
 
-_MX_MAGIC = 0xF993FAC9
-_ND_MAGIC = 0xCD307A78  # NDARRAY_MAGIC
+_MX_LIST_MAGIC = 0x112
+_ND_V2_MAGIC = 0xF993FAC9
+_ND_V3_MAGIC = 0xF993FACA
+
+_MX_DTYPES = {0: np.float32, 1: np.float64, 2: np.float16, 3: np.uint8, 4: np.int32}
+
+
+def _read_mx_ndarray(buf, off: int):
+    def u32(o):
+        return int(np.frombuffer(buf, np.uint32, 1, o)[0]), o + 4
+
+    def i32(o):
+        return int(np.frombuffer(buf, np.int32, 1, o)[0]), o + 4
+
+    def i64(o):
+        return int(np.frombuffer(buf, np.int64, 1, o)[0]), o + 8
+
+    magic, off2 = u32(off)
+    if magic in (_ND_V2_MAGIC, _ND_V3_MAGIC):
+        off = off2
+        stype, off = i32(off)
+        if stype not in (-1, 0):  # only dense supported
+            raise ValueError(f"unsupported mxnet storage type {stype}")
+        ndim, off = u32(off)
+        dims = []
+        for _ in range(ndim):
+            if magic == _ND_V3_MAGIC:
+                d, off = i64(off)
+            else:
+                d, off = u32(off)
+            dims.append(d)
+        _, off = i32(off)  # dev_type
+        _, off = i32(off)  # dev_id
+        dtype_flag, off = i32(off)
+    else:
+        # legacy record: magic was actually ndim
+        ndim = magic
+        off = off2
+        if ndim > 8:
+            raise ValueError(f"unparseable mxnet record at offset {off - 4}")
+        dims = []
+        for _ in range(ndim):
+            d, off = u32(off)
+            dims.append(d)
+        _, off = i32(off)
+        _, off = i32(off)
+        dtype_flag, off = i32(off)
+    dtype = _MX_DTYPES[dtype_flag]
+    count = int(np.prod(dims)) if dims else 1
+    arr = np.frombuffer(buf, dtype, count, off).reshape(dims).copy()
+    off += count * dtype().itemsize
+    return arr, off
+
+
+def read_mxnet_params(params_path: str) -> dict[str, np.ndarray]:
+    """Parse a `mxnet.nd.save`-format file into {name: array}."""
+    buf = open(params_path, "rb").read()
+    header = np.frombuffer(buf, np.uint64, 3, 0)
+    if int(header[0]) != _MX_LIST_MAGIC:
+        raise ValueError(
+            f"{params_path}: not an mxnet NDArray list (magic {header[0]:#x}); "
+            "convert to .pth with the reference's convert_mxnet_to_torch instead"
+        )
+    count = int(header[2])
+    off = 24
+    arrays = []
+    for _ in range(count):
+        arr, off = _read_mx_ndarray(buf, off)
+        arrays.append(arr)
+    n_names = int(np.frombuffer(buf, np.uint64, 1, off)[0])
+    off += 8
+    names = []
+    for _ in range(n_names):
+        ln = int(np.frombuffer(buf, np.uint64, 1, off)[0])
+        off += 8
+        names.append(buf[off : off + ln].decode())
+        off += ln
+    assert len(names) == len(arrays), (len(names), len(arrays))
+    return dict(zip(names, arrays))
+
+
+def _mxnet_key_to_flax(key: str) -> tuple[list[str], str] | None:
+    """Rename an MXNet ResNet-38 param to our tree — same mapping as the
+    reference's convert_mxnet_to_torch (network/resnet38d.py:216-264).
+
+    MXNet names look like 'arg:convXa_branch2a_weight',
+    'aux:bnXa_branch2a_moving_mean', 'arg:bn7_gamma', 'arg:conv1a_weight'.
+    """
+    key = key.split(":", 1)[-1]  # strip arg:/aux:
+    bn_map = {"beta": "bias", "gamma": "scale", "mean": "mean", "var": "var"}
+    toks = key.split("_")
+    if "conv1a" in toks[0]:
+        return ["backbone", "conv1a", "kernel"], "conv"
+    if "linear1000" in toks[0]:
+        return None  # classifier head, dropped (resnet38d.py:233-234)
+    if len(toks) >= 2 and "branch" in toks[1]:
+        stage = toks[0]
+        # resXa -> bX ; resX_unitY... reference: last char != 'a' => bN_M
+        if stage[-1] != "a":
+            block = "b" + stage[-3] + "_" + stage[-1]
+        else:
+            block = "b" + stage[-2]
+        if "res" in stage or "conv" in stage[:4]:
+            layer = "conv_" + toks[1]
+            leaf = "kernel"
+            kind = "conv"
+        else:  # bn
+            layer = "bn_" + toks[1]
+            raw = toks[-1]
+            if raw in ("mean", "var"):
+                kind = "bn_stat"
+            else:
+                kind = "bn_affine"
+            leaf = bn_map[raw]
+        return ["backbone", block, layer, leaf], kind
+    # trailing bn7 params: bn7_gamma / bn7_beta / bn7_moving_mean ...
+    raw = toks[-1]
+    kind = "bn_stat" if raw in ("mean", "var") else "bn_affine"
+    return ["backbone", "bn7", bn_map[raw]], kind
 
 
 def convert_mxnet_params(params_path: str) -> tuple[dict, dict]:
-    """Best-effort pure-numpy reader for the ImageNet-pretrained
-    `ilsvrc-cls_rna-a1_cls1000_ep-0001.params` file, followed by the same
-    renaming as `convert_mxnet_to_torch` (resnet38d.py:216-264).
-
-    Raises a clear error if the binary layout is unrecognized — in that case
-    convert once with the reference script (mxnet required) to .pth and load
-    that instead.
-    """
-    raise NotImplementedError(
-        "Direct .params parsing is not implemented yet; convert the MXNet "
-        "checkpoint to .pth once with the reference's convert_mxnet_to_torch "
-        "(network/resnet38d.py:216) and pass the .pth here."
-    )
+    """ImageNet-pretrained `.params` -> (params, batch_stats) trees, renamed
+    per convert_mxnet_to_torch (resnet38d.py:216-264); conv kernels
+    transposed OIHW -> HWIO."""
+    raw = read_mxnet_params(params_path)
+    params: dict = {}
+    batch_stats: dict = {}
+    for key, arr in raw.items():
+        mapped = _mxnet_key_to_flax(key)
+        if mapped is None:
+            continue
+        path, kind = mapped
+        if kind == "conv":
+            _assign(params, path, arr.transpose(2, 3, 1, 0).astype(np.float32))
+        elif kind == "bn_affine":
+            _assign(params, path, arr.astype(np.float32))
+        else:
+            _assign(batch_stats, path, arr.astype(np.float32))
+    return params, batch_stats
 
 
 def load_pretrained(weights_path: str) -> tuple[dict, dict]:
