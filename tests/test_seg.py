@@ -118,3 +118,25 @@ def test_global_batch_bn_is_sync_bn():
     np.testing.assert_allclose(
         np.asarray(stats_ref["mean"]), np.asarray(stats_sh["mean"]), atol=1e-6
     )
+
+
+def test_xception_backbone_forward():
+    from wseg_tpu.seg.xception import Xception
+
+    model = Xception()
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    l1, l2, l4 = model.apply(variables, x)
+    assert l1.shape == (1, 16, 16, 256)   # os 8: stride 4 tap
+    assert l4.shape == (1, 8, 8, 2048)
+
+
+def test_deeplabv3plus_xception():
+    cfg = SegConfig(MODEL_NAME="deeplabv3plus", MODEL_BACKBONE="xception",
+                    MODEL_ASPP_OUTDIM=64, MODEL_ASPP_HASGLOBAL=True)
+    model = generate_net(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 64, 64, 21)

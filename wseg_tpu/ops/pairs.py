@@ -45,6 +45,11 @@ def radius_pair_indices(radius: int, size: tuple[int, int]) -> tuple[np.ndarray,
     indices_to:   (D*P,) — for each displacement d, the shifted frame.
     """
     h, w = size
+    if radius < 2:
+        raise ValueError(
+            f"radius {radius} yields an empty pair set; the affinity head "
+            f"needs a feature map with min edge >= 5 (input min edge >= 40)"
+        )
     offsets = search_offsets(radius)
     rf = radius - 1  # radius_floor
     full = np.arange(h * w, dtype=np.int64).reshape(h, w)
