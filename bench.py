@@ -30,6 +30,9 @@ import time
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=["cam", "train"], default="cam",
+                        help="cam = headline MSF inference metric; train = "
+                        "stage-1 train-step imgs/sec (the reference's imps log)")
     parser.add_argument("--height", type=int, default=384)
     parser.add_argument("--width", type=int, default=512)
     parser.add_argument("--batch", type=int, default=4, help="images per fused call")
@@ -56,6 +59,9 @@ def main():
     from wseg_tpu.infer.cam import DEFAULT_SCALES, _np_upsample, make_fused_msf_fn
     from wseg_tpu.models import build_model
     from wseg_tpu.ops.cam import fuse_msf_cams
+
+    if args.mode == "train":
+        return bench_train(args)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     h0, w0 = args.height, args.width
@@ -168,6 +174,58 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def bench_train(args):
+    """Stage-1 dual-view train-step throughput (imgs/sec/chip) at the
+    reference hyperparameters (crop 448, the reference logs this as `imps`,
+    contrast_train.py:418)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wseg_tpu.models import build_model
+    from wseg_tpu.train.contrast import TrainState, make_train_step
+    from wseg_tpu.train.optim import label_params, poly_sgd
+
+    crop = args.height if args.height != 384 else 448
+    b = args.batch if args.batch != 4 else 8
+    model = build_model("contrast")
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, crop, crop, 3), jnp.float32))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = poly_sgd(0.01, 5e-4, max_step=10000, labels=label_params(params))
+    state = TrainState(params, tx.init(params), batch_stats, rng)
+    step = make_train_step(model, tx)
+
+    rngn = np.random.RandomState(0)
+    img = jnp.asarray(rngn.rand(b, crop, crop, 3), jnp.float32)
+    label = jnp.asarray((rngn.rand(b, 20) > 0.7).astype(np.float32))
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, img, label)
+    loss0 = float(metrics["loss"])  # forces compile + run
+    compile_s = time.perf_counter() - t0
+
+    for _ in range(args.warmup):
+        state, metrics = step(state, img, label)
+        float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, img, label)
+        float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    ips = b * args.iters / dt
+    print(json.dumps({
+        "metric": "train imgs/sec/chip (stage-1 dual-view step)",
+        "value": round(ips, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": None,
+        "detail": {"crop": crop, "batch": b, "first_compile_s": round(compile_s, 1),
+                   "loss0": round(loss0, 4)},
+    }))
 
 
 if __name__ == "__main__":
