@@ -35,10 +35,13 @@ def main():
                         "stage-1 train-step imgs/sec (the reference's imps log)")
     parser.add_argument("--height", type=int, default=384)
     parser.add_argument("--width", type=int, default=512)
-    parser.add_argument("--batch", type=int, default=4, help="images per fused call")
+    parser.add_argument("--batch", type=int, default=8, help="images per fused call")
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16",
+                        help="our fused path's dtype (bf16 is the TPU-native "
+                        "choice); the reference-style baseline always runs f32 "
+                        "like the reference")
     parser.add_argument("--fused_pcm", action="store_true",
                         help="route PCM through the fused Pallas kernel")
     parser.add_argument("--skip_reference_style", action="store_true")
@@ -69,12 +72,13 @@ def main():
 
     model = build_model("contrast", fused_pcm=args.fused_pcm)
     rng = np.random.RandomState(0)
-    variables = model.init(
+    variables32 = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
     )
+    variables = variables32
     if dtype != jnp.float32:
         variables = jax.tree.map(
-            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables32
         )
 
     views = []
@@ -116,6 +120,8 @@ def main():
         fwd_cache = {}
 
         def fwd_sync(img, vh, vw):
+            # reference baseline runs f32, like the reference itself
+            img = img.astype(jnp.float32)
             key = img.shape
             if key not in fwd_cache:
                 def f(v, x):
@@ -124,7 +130,7 @@ def main():
                     cam = resize_bilinear(cam, (h0, w0), align_corners=False)
                     return cam, jnp.sum(cam.astype(jnp.float32))
                 fwd_cache[key] = jax.jit(f)
-            cam, chk = fwd_cache[key](variables, img)
+            cam, chk = fwd_cache[key](variables32, img)
             float(chk)  # per-view host sync, like the reference's .cpu()
             return cam
 

@@ -87,3 +87,28 @@ def test_loader_prefetch_and_collate():
     assert imgs.shape == (4, 4, 4, 3)
     assert labels.shape == (4, 20)
     assert len(names) == 4
+
+
+def test_aff_gt_dataset(tmp_path):
+    import PIL.Image
+
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    label_dir = tmp_path / "labels"
+    label_dir.mkdir()
+    rng = np.random.RandomState(0)
+    PIL.Image.fromarray((rng.rand(60, 80, 3) * 255).astype(np.uint8)).save(
+        root / "JPEGImages" / "2007_000001.jpg"
+    )
+    PIL.Image.fromarray(rng.randint(0, 3, (60, 80)).astype(np.uint8)).save(
+        label_dir / "2007_000001.png"
+    )
+    (tmp_path / "list.txt").write_text("2007_000001\n")
+
+    from wseg_tpu.data.voc12 import VOC12AffGtDataset
+
+    ds = VOC12AffGtDataset(str(tmp_path / "list.txt"), str(label_dir), str(root),
+                           cropsize=40, radius=3)
+    img, (bg, fg, neg) = ds[0]
+    assert img.shape == (40, 40, 3)
+    assert bg.shape == fg.shape == neg.shape

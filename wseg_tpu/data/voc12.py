@@ -234,6 +234,50 @@ class VOC12SaliencyDataset(VOC12ClsDataset):
         return name, arr, sal_arr, self.label_list[idx]
 
 
+class VOC12AffGtDataset(VOC12ImageDataset):
+    """AffinityNet samples from ground-truth (or pseudo) mask pngs
+    (voc12/data.py:263-304): image + label png -> joint crop/flip -> 8x
+    nearest-subsampled label -> radius-pair affinity targets."""
+
+    def __init__(self, img_name_list_path, label_dir, voc12_root,
+                 cropsize=448, radius=5):
+        super().__init__(img_name_list_path, voc12_root, None)
+        from wseg_tpu.data.affinity_labels import ExtractAffinityLabelInRadius
+
+        self.label_dir = label_dir
+        self.jitter = T.ColorJitter(0.3, 0.3, 0.3, 0.1)
+        self.normalize = T.Normalize()
+        self.crop = T.RandomCrop(cropsize)
+        self.extract = ExtractAffinityLabelInRadius(cropsize // 8, radius)
+
+    def __getitem__(self, idx: int):
+        import random as _random
+
+        import PIL.Image
+
+        name, img = self._load(idx)
+        label = np.asarray(
+            PIL.Image.open(os.path.join(self.label_dir, name + ".png"))
+        ).astype(np.float32)[..., None]
+
+        img = self.jitter(img)
+        raw = np.asarray(img, np.float32)
+        box = self.crop.get_box(*raw.shape[:2])
+        # pad regions get label 255 (ignore)
+        ct, cl, it_, il, ch, cw = box
+        lab = np.full((self.crop.cropsize, self.crop.cropsize, 1), 255.0, np.float32)
+        lab[ct : ct + ch, cl : cl + cw] = label[it_ : it_ + ch, il : il + cw]
+        raw = self.crop.apply(raw, box)
+        arr = self.normalize(raw)
+        if bool(_random.getrandbits(1)):
+            arr = np.fliplr(arr).copy()
+            lab = np.fliplr(lab).copy()
+        # nearest 8x subsample of the hard labels
+        lab8 = lab[::8, ::8, 0].astype(np.uint8)
+        bg_pos, fg_pos, neg = self.extract(lab8)
+        return arr, (bg_pos, fg_pos, neg)
+
+
 class VOC12AffDataset(VOC12ImageDataset):
     """AffinityNet training samples (voc12/data.py:201-261): image + fused
     la/ha CRF pseudo label -> joint aug -> 8x pooled label -> radius-pair

@@ -93,22 +93,57 @@ def do_python_eval(
     return loglist
 
 
+def _curve_confusions_for_image(
+    name: str, predict_folder: str, gt_folder: str, thresholds, num_cls: int
+) -> np.ndarray:
+    """Confusion matrices for every bg threshold in ONE pass over the image
+    (the reference re-reads and re-argmaxes each image 60 times,
+    eval.py:129-136)."""
+    d = np.load(os.path.join(predict_folder, f"{name}.npy"), allow_pickle=True).item()
+    h, w = next(iter(d.values())).shape
+    fg = np.zeros((num_cls - 1, h, w), np.float32)
+    for key, cam in d.items():
+        fg[key] = cam
+    fg_max = fg.max(axis=0)
+    fg_arg = fg.argmax(axis=0).astype(np.int64) + 1
+
+    gt = np.array(Image.open(os.path.join(gt_folder, f"{name}.png")))
+    valid = gt < 255
+    gt_v = gt[valid].astype(np.int64)
+    fg_max_v = fg_max[valid]
+    fg_arg_v = fg_arg[valid]
+
+    out = np.zeros((len(thresholds), num_cls, num_cls), np.int64)
+    for ti, t in enumerate(thresholds):
+        pred = np.where(fg_max_v > t, fg_arg_v, 0)
+        out[ti] = np.bincount(
+            gt_v * num_cls + pred, minlength=num_cls * num_cls
+        ).reshape(num_cls, num_cls)
+    return out
+
+
 def evaluate_dir(
     predict_dir: str, gt_dir: str, name_list, input_type: str = "png",
     threshold: float | None = None, curve: bool = False, num_workers: int = 8,
 ):
-    """Single eval or the bg-threshold curve sweep (eval.py:129-136)."""
+    """Single eval or the bg-threshold curve sweep (eval.py:129-136). The
+    sweep loads each prediction once and evaluates all 60 thresholds."""
     if not curve:
         return do_python_eval(
             predict_dir, gt_dir, name_list, 21, input_type, threshold,
             printlog=True, num_workers=num_workers,
         )
+    thresholds = [i / 100.0 for i in range(60)]
+    total = np.zeros((len(thresholds), 21, 21), np.int64)
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for conf in pool.map(
+            lambda n: _curve_confusions_for_image(n, predict_dir, gt_dir, thresholds, 21),
+            name_list,
+        ):
+            total += conf
     mious = []
-    for i in range(60):
-        t = i / 100.0
-        loglist = do_python_eval(
-            predict_dir, gt_dir, name_list, 21, input_type, t, num_workers=num_workers
-        )
-        mious.append(loglist["mIoU"])
-        print("%d/60 background score: %.3f\tmIoU: %.3f%%" % (i, t, loglist["mIoU"]))
+    for ti, t in enumerate(thresholds):
+        miou = float(np.mean(iou_from_confusion(total[ti]))) * 100
+        mious.append(miou)
+        print("%d/60 background score: %.3f\tmIoU: %.3f%%" % (ti, t, miou))
     return {"mIoU": mious}
