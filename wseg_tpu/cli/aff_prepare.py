@@ -22,6 +22,9 @@ def main(argv=None):
     parser.add_argument("--crf_iters", default=10, type=int)
     parser.add_argument("--alpha", default=None, type=float,
                         help="single alpha; default runs the [4,8,16,24,32] sweep")
+    parser.add_argument("--crf_backend", default="native", choices=["native", "tpu"],
+                        help="native = exact C++ permutohedral; tpu = jitted "
+                        "bilateral-grid CRF")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -42,11 +45,15 @@ def main(argv=None):
                 os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
             ).item()
             crf = crf_with_alpha(
-                cam_dict, get_img_path(name, args.voc12_root), alpha, t=args.crf_iters
+                cam_dict, get_img_path(name, args.voc12_root), alpha,
+                t=args.crf_iters, backend=args.crf_backend,
             )
             np.save(os.path.join(crf_folder, name + ".npy"), crf)
 
-        with ThreadPoolExecutor(max_workers=args.num_workers) as pool:
+        # the tpu backend compiles per image shape — serialize it; the native
+        # C++ path releases the GIL and fans out across threads
+        workers = 1 if args.crf_backend == "tpu" else args.num_workers
+        with ThreadPoolExecutor(max_workers=workers) as pool:
             list(pool.map(work, name_list))
         print(f"Info: Alpha {alpha} done!", flush=True)
 

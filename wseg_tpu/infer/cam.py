@@ -144,21 +144,6 @@ def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES):
     return fn
 
 
-def make_views_for_image(img_hwc: np.ndarray, scales=DEFAULT_SCALES) -> list[np.ndarray]:
-    """Device-free helper for pre-normalized fixed-size arrays: build the
-    [scale, flip] view list with PIL-equivalent bicubic NOT applied — callers
-    with PIL images should use data.transforms.msf_views instead. Here scaling
-    uses jax bilinear (for synthetic benches only)."""
-    h, w = img_hwc.shape[:2]
-    out = []
-    for s in scales:
-        th, tw = round(h * s), round(w * s)
-        v = np.asarray(resize_bilinear(img_hwc, (th, tw), align_corners=False))
-        out.append(v)
-        out.append(v[:, ::-1].copy())
-    return out
-
-
 # ---------------------------------------------------------------------------
 # Output writers — the file contracts consumed by stage 2 (bit-compatible
 # with contrast_infer.py:82-99)

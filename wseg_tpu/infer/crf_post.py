@@ -51,8 +51,14 @@ def crf_from_cam_dict(
 
 def crf_with_alpha(
     cam_dict: dict, img_path: str, alpha: float, t: int = 10, gt_prob: float = 0.7,
+    backend: str = "native",
 ) -> np.ndarray:
-    """(21, H, W) CRF score array for one image at the given bg alpha."""
+    """(21, H, W) CRF score array for one image at the given bg alpha.
+
+    backend: 'native' = exact permutohedral C++ path (pydensecrf-faithful,
+    default for stage-2 label generation); 'tpu' = the jitted bilateral-grid
+    CRF (ops/crf.py) — faster per image once compiled, slightly coarser color
+    blur."""
     h, w = next(iter(cam_dict.values())).shape
     tensor = np.zeros((21, h, w), np.float32)
     for key, cam in cam_dict.items():
@@ -60,6 +66,14 @@ def crf_with_alpha(
     tensor[0] = np.power(1 - np.max(tensor, axis=0, keepdims=False), alpha)
     predict = np.argmax(tensor, axis=0).astype(np.uint8)
     img = np.array(Image.open(img_path).convert("RGB"))
+    if backend == "tpu":
+        from wseg_tpu.ops.crf import crf_labels_tpu
+
+        return crf_labels_tpu(
+            img, predict, t=t, gt_prob=gt_prob,
+            sxy_gaussian=3, compat_gaussian=3,
+            sxy_bilateral=80, srgb=13, compat_bilateral=10,
+        )
     return crf_inference_labels(
         img, predict, t=t, gt_prob=gt_prob,
         sxy_gaussian=3, compat_gaussian=3,
