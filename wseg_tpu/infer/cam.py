@@ -122,7 +122,10 @@ def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES):
         _, cam_rv_down = model.apply(
             variables, v.reshape(b * 2, h, w, 3), raw_cam=True
         )
-        cam = cam_rv_down[..., 1:]
+        # mixed precision: the backbone may run bf16, but the CAM resize/
+        # fusion chain is numerically sensitive (max-norm of near-ties) and
+        # cheap — always fuse in f32
+        cam = cam_rv_down[..., 1:].astype(jnp.float32)
         # reference resize chain: stride-8 -> view (a=True) -> original (a=False)
         cam = resize_bilinear(cam, (h, w), align_corners=True)
         cam = resize_bilinear(cam, (h0, w0), align_corners=False)
@@ -133,7 +136,7 @@ def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES):
     @jax.jit
     def fuse(partials, label):
         total = sum(partials[1:], partials[0])
-        total = total * label[:, None, None, :]
+        total = total * label.astype(jnp.float32)[:, None, None, :]
         total = jnp.transpose(total, (0, 3, 1, 2))  # (B, 20, H, W)
         return jax.vmap(fuse_msf_cams)(total)
 
