@@ -104,8 +104,15 @@ def main(argv=None):
             timer.update_progress((idx + 1) / len(dataset))
             print(f"{idx + 1}/{len(dataset)}, fin: {timer.str_est_finish()}", flush=True)
 
-    resultlog = dataset.do_python_eval(cfg.MODEL_NAME)
-    writelog(os.path.join(cfg.LOG_DIR, "logfile.txt"), resultlog, f"{args.exp} {args.period}")
+    if args.period == "test":
+        # VOC test split has no public ground truth — predictions are saved
+        # for server submission only (reference behavior: save_result, no eval)
+        print("Test-period predictions saved (no local ground truth to eval)")
+    else:
+        resultlog = dataset.do_python_eval(cfg.MODEL_NAME)
+        writelog(
+            os.path.join(cfg.LOG_DIR, "logfile.txt"), resultlog, f"{args.exp} {args.period}"
+        )
     print("Test finished")
 
 
