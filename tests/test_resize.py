@@ -40,3 +40,18 @@ def test_avg_pool2d_matches_torch():
     xt = torch.from_numpy(x).permute(0, 3, 1, 2)
     want = F.avg_pool2d(xt, 8, 8).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bicubic_matches_pil():
+    import PIL.Image
+
+    from wseg_tpu.ops.resize import resize_bicubic
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(120, 90, 3) * 255).astype(np.uint8)
+    pil = PIL.Image.fromarray(img)
+    for th, tw in [(60, 45), (240, 180), (97, 61)]:
+        want = np.asarray(pil.resize((tw, th), PIL.Image.BICUBIC), np.float32)
+        got = np.asarray(resize_bicubic(img.astype(np.float32), (th, tw)))
+        assert np.abs(got - want).max() <= 2.0
+        assert np.abs(got - want).mean() < 0.05

@@ -24,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--crf_iters", default=10, type=int)
     parser.add_argument("--bucket", default=64, type=int,
                         help="pad H/W to multiples for compile reuse; 0 = exact shapes")
+    parser.add_argument("--device_msf", action="store_true",
+                        help="whole-pipeline-on-device mode: uint8 image in, "
+                        "device-side bicubic views + fusion (one compile per "
+                        "image size)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -50,15 +54,27 @@ def main(argv=None):
         }
 
     dataset = VOC12ClsDatasetMSF(args.infer_list, args.voc12_root)
-    inferencer = CamInferencer(model, variables, bucket=args.bucket or None)
+    inferencer = CamInferencer(
+        model, variables, bucket=args.bucket or None, device_msf=args.device_msf
+    )
 
     crf_pool = ThreadPoolExecutor(max_workers=args.num_workers)
     crf_futures = []
     timer = Timer("Infer started: ")
 
     for idx in range(len(dataset)):
-        name, views, label, orig_hw = dataset[idx]
-        norm_cam = inferencer.infer_one(views, np.asarray(label), orig_hw)
+        if args.device_msf:
+            name = dataset.img_name_list[idx]
+            from PIL import Image as _Image
+
+            img = np.array(
+                _Image.open(get_img_path(name, args.voc12_root)).convert("RGB")
+            )
+            label = dataset.label_list[idx]
+            norm_cam = inferencer.infer_one_device(img, np.asarray(label))
+        else:
+            name, views, label, orig_hw = dataset[idx]
+            norm_cam = inferencer.infer_one(views, np.asarray(label), orig_hw)
 
         if args.out_cam is not None:
             cam_dict = save_cam_dict(args.out_cam, name, norm_cam, label)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wseg_tpu.ops.cam import fuse_msf_cams
-from wseg_tpu.ops.resize import _resize_weights_np, resize_bilinear
+from wseg_tpu.ops.resize import _resize_weights_np, resize_bicubic, resize_bilinear
 
 DEFAULT_SCALES = (0.5, 1.0, 1.5, 2.0)
 
@@ -55,13 +55,22 @@ def _np_upsample_ac(cam: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
 
 
 class CamInferencer:
-    """Variable-size MSF CAM inference with shape-bucketed compiled programs."""
+    """Variable-size MSF CAM inference with shape-bucketed compiled programs.
 
-    def __init__(self, model, variables, scales=DEFAULT_SCALES, bucket: int = 64):
+    device_msf=True moves the WHOLE per-image pipeline on device: one uint8
+    image in (H*W*3 bytes instead of 8 float view tensors, ~64x less
+    host->device traffic), PIL-equivalent bicubic view scaling
+    (ops/resize.resize_bicubic, <=2/255 from PIL), normalization, both flips,
+    all scales, fusion — one program per exact image size (best on hardware
+    with a persistent compile cache)."""
+
+    def __init__(self, model, variables, scales=DEFAULT_SCALES, bucket: int = 64,
+                 device_msf: bool = False):
         self.model = model
         self.variables = variables
         self.scales = scales
         self.bucket = bucket  # pad H,W up to a multiple; None = exact shapes
+        self.device_msf = device_msf
 
     @functools.lru_cache(maxsize=None)
     def _forward(self, h: int, w: int):
@@ -72,6 +81,42 @@ class CamInferencer:
             return cam_rv_down[..., 1:]
 
         return jax.jit(f)
+
+    @functools.lru_cache(maxsize=None)
+    def _device_msf_program(self, h: int, w: int):
+        from wseg_tpu.models.resnet38 import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+        std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+
+        def f(variables, img_u8, label):
+            total = jnp.zeros((h, w, 20), jnp.float32)
+            base = img_u8.astype(jnp.float32)
+            for s in self.scales:
+                th, tw = round(h * s), round(w * s)
+                view = resize_bicubic(base, (th, tw))
+                view = (view - mean) / std
+                pair = jnp.stack([view, view[:, ::-1]])
+                _, cam_rv_down = self.model.apply(variables, pair, raw_cam=True)
+                cam = cam_rv_down[..., 1:].astype(jnp.float32)
+                cam = resize_bilinear(cam, (th, tw), align_corners=True)
+                cam = resize_bilinear(cam, (h, w), align_corners=False)
+                total = total + cam[0] + cam[1, :, ::-1]
+            total = total * label[None, None, :]
+            return fuse_msf_cams(jnp.transpose(total, (2, 0, 1)))
+
+        return jax.jit(f)
+
+    def infer_one_device(
+        self, img_uint8: np.ndarray, label: np.ndarray
+    ) -> np.ndarray:
+        """img_uint8: (H, W, 3); returns the fused normalized fg CAM (20, H, W)."""
+        h, w = img_uint8.shape[:2]
+        return np.asarray(
+            self._device_msf_program(h, w)(
+                self.variables, jnp.asarray(img_uint8), jnp.asarray(label, jnp.float32)
+            )
+        )
 
     def infer_one(
         self, views: list[np.ndarray], label: np.ndarray, orig_hw: tuple[int, int]

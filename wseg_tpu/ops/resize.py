@@ -72,6 +72,68 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], align_corners: bool =
     return y[0] if squeeze else y
 
 
+@functools.lru_cache(maxsize=256)
+def _bicubic_weights_np(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) PIL.Image.BICUBIC-equivalent resampling matrix: Keys cubic
+    (a = -0.5) with PIL's antialiasing (filter support scaled by the
+    downscale factor) and per-row weight normalization. Matches
+    `img.resize(..., resample=PIL.Image.BICUBIC)` up to uint8 rounding —
+    the device-side version of the MSF view scaling (voc12/data.py:103-110).
+    """
+
+    def cubic(x):
+        x = np.abs(x)
+        a = -0.5
+        return np.where(
+            x <= 1,
+            (a + 2) * x**3 - (a + 3) * x**2 + 1,
+            np.where(x < 2, a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a, 0.0),
+        )
+
+    scale = in_size / out_size
+    fscale = max(scale, 1.0)
+    support = 2.0 * fscale
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        lo = max(int(np.floor(center - support)), 0)
+        hi = min(int(np.ceil(center + support)), in_size)
+        js = np.arange(lo, hi)
+        ws = cubic((js + 0.5 - center) / fscale)
+        s = ws.sum()
+        if s != 0:
+            w[i, lo:hi] = ws / s
+    return w.astype(np.float32)
+
+
+def resize_bicubic(
+    x: jax.Array, out_hw: tuple[int, int], uint8_rounding: bool = True
+) -> jax.Array:
+    """PIL-BICUBIC-equivalent resize of NHWC / HWC spatial dims (antialiased
+    on downscale), as two dense matmuls. `uint8_rounding=True` reproduces
+    PIL's horizontal-then-vertical pass order with the intermediate clipped
+    and rounded to uint8, matching `Image.resize` to ~0.3/255 mean error
+    (PIL additionally quantizes filter weights to fixed point, so exact bit
+    parity is not attainable). Returns float32 in 0..255 units."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (h, w) == (oh, ow):
+        y = x.astype(jnp.float32)
+        return y[0] if squeeze else y
+    wh = jnp.asarray(_bicubic_weights_np(h, oh))
+    ww = jnp.asarray(_bicubic_weights_np(w, ow))
+    y = jnp.einsum("pw,nhwc->nhpc", ww, x.astype(jnp.float32))  # horizontal
+    if uint8_rounding:
+        y = jnp.clip(jnp.round(y), 0.0, 255.0)
+    y = jnp.einsum("oh,nhwc->nowc", wh, y)  # vertical
+    if uint8_rounding:
+        y = jnp.clip(jnp.round(y), 0.0, 255.0)
+    return y[0] if squeeze else y
+
+
 def avg_pool2d(x: jax.Array, ksize: int) -> jax.Array:
     """Non-overlapping kxk average pool over NHWC / HWC spatial dims.
 
