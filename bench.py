@@ -197,14 +197,15 @@ def bench_train(args):
     from wseg_tpu.train.optim import label_params, poly_sgd
 
     crop = args.height if args.height != 384 else 448
-    b = args.batch if args.batch != 4 else 8
+    b = args.batch
     model = build_model("contrast")
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, crop, crop, 3), jnp.float32))
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = poly_sgd(0.01, 5e-4, max_step=10000, labels=label_params(params))
     state = TrainState(params, tx.init(params), batch_stats, rng)
-    step = make_train_step(model, tx)
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    step = make_train_step(model, tx, compute_dtype=compute_dtype)
 
     rngn = np.random.RandomState(0)
     img = jnp.asarray(rngn.rand(b, crop, crop, 3), jnp.float32)
@@ -229,7 +230,8 @@ def bench_train(args):
         "value": round(ips, 3),
         "unit": "imgs/sec/chip",
         "vs_baseline": None,
-        "detail": {"crop": crop, "batch": b, "first_compile_s": round(compile_s, 1),
+        "detail": {"crop": crop, "batch": b, "dtype": args.dtype,
+                   "first_compile_s": round(compile_s, 1),
                    "loss0": round(loss0, 4)},
     }))
 

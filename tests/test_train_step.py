@@ -110,3 +110,38 @@ def test_frozen_params_not_updated():
         np.asarray(new_state.params["backbone"]["conv1a"]["kernel"]), before_frozen
     )
     assert not np.allclose(np.asarray(new_state.params["fc8"]["kernel"]), before_fc8)
+
+
+def test_mixed_precision_train_step_close_to_f32():
+    import jax
+    import jax.numpy as jnp
+
+    from wseg_tpu.models import build_model
+    from wseg_tpu.train.contrast import TrainState, make_train_step
+    from wseg_tpu.train.optim import label_params, poly_sgd
+
+    model = build_model("contrast")
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = poly_sgd(0.01, 5e-4, max_step=100, labels=label_params(params))
+
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    label = jnp.zeros((2, 20), jnp.float32).at[0, 3].set(1.0).at[1, 7].set(1.0)
+
+    def fresh():
+        # the jitted step donates its input state; give each run its own copy
+        p = jax.tree.map(jnp.copy, params)
+        s = jax.tree.map(jnp.copy, stats)
+        return TrainState(p, tx.init(p), s, jnp.copy(rng))
+
+    s32 = fresh()
+    _, m32 = make_train_step(model, tx, low_res=32)(s32, img, label)
+
+    s16 = fresh()
+    _, m16 = make_train_step(model, tx, low_res=32, compute_dtype=jnp.bfloat16)(
+        s16, img, label
+    )
+    # bf16 forward noise; losses should agree to a few percent
+    rel = abs(float(m16["loss"]) - float(m32["loss"])) / abs(float(m32["loss"]))
+    assert rel < 0.05, (float(m16["loss"]), float(m32["loss"]))

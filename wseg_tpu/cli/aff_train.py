@@ -39,6 +39,11 @@ def main(argv=None):
     from wseg_tpu.utils.checkpoint import load_checkpoint, load_pretrained, merge_params, save_checkpoint
     from wseg_tpu.utils.logging import AverageMeter, Logger, Timer
 
+    import random
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
     Logger(os.path.join("result", args.session_name, "aff.log"))
     print(vars(args))
 

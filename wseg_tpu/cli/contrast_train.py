@@ -57,6 +57,11 @@ def main(argv=None):
     )
     from wseg_tpu.utils.logging import AverageMeter, Logger, ScalarWriter, Timer
 
+    import random
+
+    random.seed(args.seed)  # host-side augmentations (reference seeds numpy
+    np.random.seed(args.seed)  # per worker, contrast_train.py:77-78)
+
     Logger(os.path.join("result", args.session_name, "contrast.log"))
     print(vars(args))
 

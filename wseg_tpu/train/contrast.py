@@ -134,10 +134,16 @@ def contrast_losses(
     }
 
 
-def make_train_step(model, tx, bg_threshold: float = 0.20, low_res: int = 128):
+def make_train_step(model, tx, bg_threshold: float = 0.20, low_res: int = 128,
+                    compute_dtype=None):
     """Build the jitted train step.
 
     step(state, img (N,H,W,3), label (N,20)) -> (state, metrics)
+
+    compute_dtype=jnp.bfloat16 enables mixed precision: the forward/backward
+    runs with bf16 params and activations (MXU-native), losses in f32,
+    gradients cast back to f32 for the optimizer (f32 master weights). Off by
+    default — reference parity is f32.
     """
 
     def train_step(state: TrainState, img: jax.Array, label: jax.Array):
@@ -147,15 +153,29 @@ def make_train_step(model, tx, bg_threshold: float = 0.20, low_res: int = 128):
         img2 = resize_bilinear(img, (low_res, low_res), align_corners=True)
 
         def loss_fn(params):
+            if compute_dtype is not None:
+                params = jax.tree.map(
+                    lambda p: p.astype(compute_dtype)
+                    if p.dtype == jnp.float32 else p, params
+                )
+                x1 = img.astype(compute_dtype)
+                x2 = img2.astype(compute_dtype)
+            else:
+                x1, x2 = img, img2
             variables = {"params": params, "batch_stats": state.batch_stats}
-            out1 = model.apply(variables, img, train=True, rngs={"dropout": k_d1})
-            out2 = model.apply(variables, img2, train=True, rngs={"dropout": k_d2})
+            out1 = model.apply(variables, x1, train=True, rngs={"dropout": k_d1})
+            out2 = model.apply(variables, x2, train=True, rngs={"dropout": k_d2})
+            if compute_dtype is not None:
+                out1 = tuple(o.astype(jnp.float32) for o in out1)
+                out2 = tuple(o.astype(jnp.float32) for o in out2)
             metrics = contrast_losses(
                 out1, out2, label21, (k_i1, k_i2), bg_threshold, low_res
             )
             return metrics["loss"], metrics
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        if compute_dtype is not None:
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = TrainState(params, opt_state, state.batch_stats, rng)
