@@ -68,7 +68,8 @@ def test_dryrun_multichip_8dev():
     import sys
 
     env = dict(os.environ)
-    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    if "xla_force_host_platform_device_count" not in env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"

@@ -40,6 +40,10 @@ def main(argv=None):
                         help="checkpoint per epoch (reference saves only at the end)")
     parser.add_argument("--resume", default="", type=str,
                         help="resume params+opt state from a .ckpt")
+    parser.add_argument("--compute_dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 = mixed-precision step (f32 master "
+                        "weights), ~12%% faster")
     args = parser.parse_args(argv)
 
     import jax
@@ -100,7 +104,8 @@ def main(argv=None):
 
     mesh = make_mesh()
     state = replicate(mesh, state)
-    step_fn = make_train_step(model, tx, args.bg_threshold)
+    compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+    step_fn = make_train_step(model, tx, args.bg_threshold, compute_dtype=compute_dtype)
 
     from wseg_tpu.utils.profiling import trace
 
