@@ -112,3 +112,30 @@ def test_aff_gt_dataset(tmp_path):
     img, (bg, fg, neg) = ds[0]
     assert img.shape == (40, 40, 3)
     assert bg.shape == fg.shape == neg.shape
+
+
+def test_simple_segmentation_dataset(tmp_path):
+    import PIL.Image
+
+    from wseg_tpu.data.segmentation import SegmentationDataset
+
+    img_dir = tmp_path / "img"
+    lab_dir = tmp_path / "lab"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    rng = np.random.RandomState(0)
+    PIL.Image.fromarray((rng.rand(96, 128, 3) * 255).astype(np.uint8)).save(
+        img_dir / "2007_000001.jpg"
+    )
+    PIL.Image.fromarray(rng.randint(0, 21, (96, 128)).astype(np.uint8)).save(
+        lab_dir / "2007_000001.png"
+    )
+    (tmp_path / "list.txt").write_text("2007_000001\n")
+    ds = SegmentationDataset(
+        str(tmp_path / "list.txt"), str(img_dir), str(lab_dir),
+        rescale=(0.8, 1.2), cropsize=64, flip=True,
+    )
+    name, arr, mask = ds[0]
+    assert arr.shape == (64, 64, 3)
+    assert mask.shape == (8, 8)
+    assert mask.dtype == np.int32
