@@ -17,3 +17,16 @@ reference's dynamic-shape losses, and Pallas kernels for the hot ops.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy convenience exports (keep `import wseg_tpu` free of jax imports)
+    if name == "build_model":
+        from wseg_tpu.models import build_model
+
+        return build_model
+    if name == "MODELS":
+        from wseg_tpu.utils.registry import MODELS
+
+        return MODELS
+    raise AttributeError(name)
