@@ -62,7 +62,10 @@ def main(argv=None):
     crf_futures = []
     timer = Timer("Infer started: ")
 
-    for idx in range(len(dataset)):
+    # pipeline host-side decode/augment with device compute (the reference
+    # overlaps via DataLoader worker processes; a thread prefetch suffices
+    # since PIL releases the GIL)
+    def prepare(idx):
         if args.device_msf:
             name = dataset.img_name_list[idx]
             from PIL import Image as _Image
@@ -70,11 +73,22 @@ def main(argv=None):
             img = np.array(
                 _Image.open(get_img_path(name, args.voc12_root)).convert("RGB")
             )
-            label = dataset.label_list[idx]
-            norm_cam = inferencer.infer_one_device(img, np.asarray(label))
+            return name, img, dataset.label_list[idx], None
+        name, views, label, orig_hw = dataset[idx]
+        return name, views, label, orig_hw
+
+    prep_pool = ThreadPoolExecutor(max_workers=4)
+    pending = [prep_pool.submit(prepare, i) for i in range(min(4, len(dataset)))]
+
+    for idx in range(len(dataset)):
+        name, data, label, orig_hw = pending.pop(0).result()
+        nxt = idx + len(pending) + 1
+        if nxt < len(dataset):
+            pending.append(prep_pool.submit(prepare, nxt))
+        if args.device_msf:
+            norm_cam = inferencer.infer_one_device(data, np.asarray(label))
         else:
-            name, views, label, orig_hw = dataset[idx]
-            norm_cam = inferencer.infer_one(views, np.asarray(label), orig_hw)
+            norm_cam = inferencer.infer_one(data, np.asarray(label), orig_hw)
 
         if args.out_cam is not None:
             cam_dict = save_cam_dict(args.out_cam, name, norm_cam, label)
@@ -103,6 +117,7 @@ def main(argv=None):
     for f in crf_futures:
         f.result()
     crf_pool.shutdown()
+    prep_pool.shutdown()
     print("done")
 
 
