@@ -13,7 +13,24 @@ import sys
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+
+# Machine-local cache dir: a cache shared across heterogeneous hosts (e.g. a
+# /tmp that survives image snapshots) aborts XLA on AOT feature mismatch.
+def _machine_tag() -> str:
+    import hashlib
+    import platform
+
+    try:
+        cpu = open("/proc/cpuinfo").read()
+        model = "".join(l for l in cpu.splitlines() if "model name" in l)[:200]
+    except OSError:
+        model = platform.processor()
+    key = f"{platform.machine()}-{model}-{os.cpu_count()}"
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_test_cache_{_machine_tag()}"
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

@@ -94,14 +94,18 @@ def main(argv=None):
     avg_meter = AverageMeter()
     timer = Timer("Session started: ")
     global_step = 0
+    pending = []  # host-sync metrics only at the print boundary (async steps)
 
     for ep in range(args.max_epoches):
         for it, (imgs, bg, fg, neg) in enumerate(loader):
             batch = shard_batch(mesh, (imgs, bg, fg, neg))
             state, metrics = step_fn(state, *batch)
             global_step += 1
-            avg_meter.add({k: float(v) for k, v in metrics.items()})
+            pending.append(metrics)
             if (global_step - 1) % 50 == 0:
+                for m in pending:
+                    avg_meter.add({k: float(v) for k, v in m.items()})
+                pending.clear()
                 timer.update_progress(global_step / max_step)
                 print(
                     "Iter:%5d/%5d" % (global_step - 1, max_step),

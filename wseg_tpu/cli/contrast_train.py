@@ -112,6 +112,9 @@ def main(argv=None):
     avg_meter = AverageMeter()
     timer = Timer("Session started: ")
     global_step = 0
+    pending = []  # device-side metric dicts; pulled to host only at the
+    # 50-iter print boundary so the step loop stays async (any device->host
+    # round trip blocks on step completion and is expensive on the relay)
 
     for ep in range(args.max_epoches):
         for it, (names, imgs, labels) in enumerate(loader):
@@ -126,8 +129,11 @@ def main(argv=None):
             state, metrics = step_fn(state, *batch)
             global_step += 1
 
-            avg_meter.add({k: float(v) for k, v in metrics.items()})
+            pending.append(metrics)
             if (global_step - 1) % 50 == 0:
+                for m in pending:
+                    avg_meter.add({k: float(v) for k, v in m.items()})
+                pending.clear()
                 timer.update_progress(global_step / max_step)
                 lr = args.lr * (1 - (global_step - 1) / max_step) ** 0.9
                 print(

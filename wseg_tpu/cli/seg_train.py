@@ -122,7 +122,7 @@ def main(argv=None):
 
     mesh = make_mesh()
     state = replicate(mesh, state)
-    step_fn = make_seg_train_step(model, tx)
+    step_fn = make_seg_train_step(model, tx, with_pred=cfg.TRAIN_TBLOG)
 
     tblogger = ScalarWriter(cfg.LOG_DIR)
     timer = Timer("Seg train started: ")
@@ -144,6 +144,19 @@ def main(argv=None):
                       f"fin:{timer.str_est_finish()}", flush=True)
                 tblogger.add_scalar("loss", loss, itr)
                 tblogger.add_scalar("lr", now_lr, itr)
+                if cfg.TRAIN_TBLOG:
+                    # input / label / pred colormaps of the last batch sample
+                    # (reference train.py:107-120)
+                    from wseg_tpu.utils.visualization import (
+                        img_denorm, voc_label2colormap,
+                    )
+
+                    inp = img_denorm(np.asarray(imgs[-1])).astype(np.uint8)
+                    lbl_color = voc_label2colormap(np.asarray(segs[-1]))
+                    seg_color = voc_label2colormap(np.asarray(metrics["pred"]))
+                    tblogger.add_image("Input", inp, itr)
+                    tblogger.add_image("Label", lbl_color, itr)
+                    tblogger.add_image("SEG1", seg_color, itr)
             itr += 1
             if itr >= max_itr:
                 done = True

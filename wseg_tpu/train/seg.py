@@ -33,7 +33,12 @@ def cross_entropy_ignore(logits: jax.Array, labels: jax.Array, ignore: int = 255
     return (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
 
 
-def make_seg_train_step(model, tx):
+def make_seg_train_step(model, tx, with_pred: bool = False):
+    """with_pred=True additionally returns `pred`: the argmax mask of the
+    LAST batch sample as uint8 (H, W) — the reference's every-100-iters
+    TB image of `pred1[-1]` (train.py:112-119) — kept tiny so the host
+    fetch at the logging boundary stays cheap on the relay."""
+
     def train_step(state: SegTrainState, img, seg_label):
         rng, k_d = jax.random.split(state.rng)
 
@@ -42,11 +47,16 @@ def make_seg_train_step(model, tx):
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, rngs={"dropout": k_d}, mutable=["batch_stats"],
             )
-            return cross_entropy_ignore(out, seg_label), new_vars["batch_stats"]
+            return cross_entropy_ignore(out, seg_label), (new_vars["batch_stats"], out)
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (new_stats, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        return SegTrainState(params, opt_state, new_stats, rng), {"loss": loss}
+        metrics = {"loss": loss}
+        if with_pred:
+            metrics["pred"] = out[-1].argmax(axis=-1).astype(jnp.uint8)
+        return SegTrainState(params, opt_state, new_stats, rng), metrics
 
     return jax.jit(train_step, donate_argnums=(0,))

@@ -98,6 +98,7 @@ class ScalarWriter:
 
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
+        self._logdir = logdir
         self._f = open(os.path.join(logdir, "events.jsonl"), "a")
         self._tb = None
         try:  # optional
@@ -122,6 +123,37 @@ class ScalarWriter:
         self._f.flush()
         if self._tb is not None:
             self._tb.add_scalars(main_tag, {k: float(v) for k, v in values.items()}, step)
+
+    def add_image(self, tag: str, img, step: int, dataformats: str = "HWC"):
+        """Log an image (reference seg trainer logs input/label/pred colormaps
+        every 100 iters, segmentation/.../train.py:107-120). `img` is a uint8
+        or [0,1]-float array, HWC or CHW per `dataformats`. Images land as
+        PNGs under `<logdir>/images/` and are mirrored to TB when available."""
+        import numpy as np
+        import PIL.Image
+
+        arr = np.asarray(img)
+        if dataformats == "CHW":
+            arr = arr.transpose(1, 2, 0)
+        if arr.ndim == 3 and arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        safe = tag.replace("/", "_").replace(" ", "_")
+        img_dir = os.path.join(self._logdir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        path = os.path.join(img_dir, f"{safe}_{int(step):08d}.png")
+        PIL.Image.fromarray(arr).save(path)
+        self._f.write(
+            json.dumps(
+                {"t": time.time(), "step": int(step), f"image/{tag}": path}
+            )
+            + "\n"
+        )
+        self._f.flush()
+        if self._tb is not None:
+            chw = arr[None] if arr.ndim == 2 else arr.transpose(2, 0, 1)
+            self._tb.add_image(tag, chw, step)
 
     def close(self):
         self._f.close()
