@@ -55,3 +55,20 @@ def test_bicubic_matches_pil():
         got = np.asarray(resize_bicubic(img.astype(np.float32), (th, tw)))
         assert np.abs(got - want).max() <= 2.0
         assert np.abs(got - want).mean() < 0.05
+
+
+def test_resize_chain_equals_two_step():
+    """Composed stride-8 -> mid (ac=True) -> out (ac=False) == sequential
+    two-step application (same linear map, reassociated)."""
+    import jax.numpy as jnp
+
+    from wseg_tpu.ops.resize import resize_bilinear, resize_bilinear_chain
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 12, 16, 5).astype(np.float32))
+    for mid, out in [((96, 128), (48, 64)), ((24, 32), (75, 93)), ((12, 16), (30, 40))]:
+        want = resize_bilinear(
+            resize_bilinear(x, mid, align_corners=True), out, align_corners=False
+        )
+        got = resize_bilinear_chain(x, mid, out)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -33,7 +33,7 @@ def main(argv=None):
     from wseg_tpu.data.loader import DataLoader
     from wseg_tpu.data.voc12 import VOC12AffDataset
     from wseg_tpu.models import build_model
-    from wseg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from wseg_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
     from wseg_tpu.train.affinity import AffTrainState, make_aff_train_step
     from wseg_tpu.train.optim import label_params, poly_sgd
     from wseg_tpu.utils.checkpoint import load_checkpoint, load_pretrained, merge_params, save_checkpoint
@@ -87,7 +87,7 @@ def main(argv=None):
                   labels=label_params(params))
     state = AffTrainState(params, tx.init(params), batch_stats, rng)
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(args.batch_size)
     state = replicate(mesh, state)
     step_fn = make_aff_train_step(model, tx)
 

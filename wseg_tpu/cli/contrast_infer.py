@@ -28,6 +28,11 @@ def main(argv=None):
                         help="whole-pipeline-on-device mode: uint8 image in, "
                         "device-side bicubic views + fusion (one compile per "
                         "image size)")
+    parser.add_argument("--batch_size", default=0, type=int,
+                        help="images per data-parallel batch sharded over all "
+                        "chips (0 = one per chip; single-image path on one "
+                        "chip). Replaces the reference's thread pool over GPU "
+                        "replicas (contrast_infer.py:46-71)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -53,10 +58,23 @@ def main(argv=None):
             "batch_stats": merge_params(variables["batch_stats"], loaded_stats),
         }
 
+    import jax
+
+    n_devices = len(jax.devices())
+    batch_size = args.batch_size or n_devices
+    mesh = None
+    if n_devices > 1 and not args.device_msf:
+        from wseg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel inference over {n_devices} chips, batch {batch_size}")
+
     dataset = VOC12ClsDatasetMSF(args.infer_list, args.voc12_root)
     inferencer = CamInferencer(
-        model, variables, bucket=args.bucket or None, device_msf=args.device_msf
+        model, variables, bucket=args.bucket or None, device_msf=args.device_msf,
+        mesh=mesh,
     )
+    use_batched = batch_size > 1 or mesh is not None
 
     crf_pool = ThreadPoolExecutor(max_workers=args.num_workers)
     crf_futures = []
@@ -77,19 +95,7 @@ def main(argv=None):
         name, views, label, orig_hw = dataset[idx]
         return name, views, label, orig_hw
 
-    prep_pool = ThreadPoolExecutor(max_workers=4)
-    pending = [prep_pool.submit(prepare, i) for i in range(min(4, len(dataset)))]
-
-    for idx in range(len(dataset)):
-        name, data, label, orig_hw = pending.pop(0).result()
-        nxt = idx + len(pending) + 1
-        if nxt < len(dataset):
-            pending.append(prep_pool.submit(prepare, nxt))
-        if args.device_msf:
-            norm_cam = inferencer.infer_one_device(data, np.asarray(label))
-        else:
-            norm_cam = inferencer.infer_one(data, np.asarray(label), orig_hw)
-
+    def write_outputs(name, norm_cam, label):
         if args.out_cam is not None:
             cam_dict = save_cam_dict(args.out_cam, name, norm_cam, label)
         else:
@@ -110,9 +116,44 @@ def main(argv=None):
                 )
             )
 
-        if (idx + 1) % 50 == 0:
-            timer.update_progress((idx + 1) / len(dataset))
-            print(f"{idx + 1}/{len(dataset)} imgs, fin: {timer.str_est_finish()}", flush=True)
+    def progress(done):
+        if done % 50 < (batch_size if use_batched else 1):
+            timer.update_progress(done / len(dataset))
+            print(f"{done}/{len(dataset)} imgs, fin: {timer.str_est_finish()}", flush=True)
+
+    prep_pool = ThreadPoolExecutor(max_workers=4)
+    prefetch = max(4, batch_size)
+    pending = [prep_pool.submit(prepare, i) for i in range(min(prefetch, len(dataset)))]
+
+    def next_item(idx):
+        item = pending.pop(0).result()
+        nxt = idx + len(pending) + 1
+        if nxt < len(dataset):
+            pending.append(prep_pool.submit(prepare, nxt))
+        return item
+
+    if use_batched and not args.device_msf:
+        idx = 0
+        while idx < len(dataset):
+            chunk = [next_item(idx + k)
+                     for k in range(min(batch_size, len(dataset) - idx))]
+            idx += len(chunk)
+            cams = inferencer.infer_batch(
+                [(views, np.asarray(label), orig_hw)
+                 for (_, views, label, orig_hw) in chunk]
+            )
+            for (name, _, label, _), norm_cam in zip(chunk, cams):
+                write_outputs(name, norm_cam, label)
+            progress(idx)
+    else:
+        for idx in range(len(dataset)):
+            name, data, label, orig_hw = next_item(idx)
+            if args.device_msf:
+                norm_cam = inferencer.infer_one_device(data, np.asarray(label))
+            else:
+                norm_cam = inferencer.infer_one(data, np.asarray(label), orig_hw)
+            write_outputs(name, norm_cam, label)
+            progress(idx + 1)
 
     for f in crf_futures:
         f.result()

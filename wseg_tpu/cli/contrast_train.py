@@ -26,6 +26,12 @@ def main(argv=None):
     parser.add_argument("--val_list", default="voc12/val.txt", type=str)
     parser.add_argument("--session_name", default="resnet38", type=str)
     parser.add_argument("--crop_size", default=448, type=int)
+    parser.add_argument("--low_res", default=128, type=int,
+                        help="second-view size (reference downsamples the "
+                        "448 crop to 128, contrast_train.py:130-134)")
+    parser.add_argument("--min_long", default=448, type=int,
+                        help="RandomResizeLong range (contrast_train.py:66)")
+    parser.add_argument("--max_long", default=768, type=int)
     parser.add_argument("--weights", default="", type=str)
     parser.add_argument("--voc12_root", default="VOC2012", type=str)
     parser.add_argument("--tblog_dir", default="./tblog", type=str)
@@ -53,7 +59,7 @@ def main(argv=None):
     from wseg_tpu.data.loader import DataLoader
     from wseg_tpu.data.voc12 import ContrastTrainDataset
     from wseg_tpu.models import build_model
-    from wseg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from wseg_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
     from wseg_tpu.train.contrast import TrainState, make_train_step
     from wseg_tpu.train.optim import label_params, poly_sgd
     from wseg_tpu.utils.checkpoint import (
@@ -73,7 +79,8 @@ def main(argv=None):
     tblogger = ScalarWriter(args.tblog_dir)
 
     dataset = ContrastTrainDataset(
-        args.train_list, args.voc12_root, crop_size=args.crop_size
+        args.train_list, args.voc12_root, crop_size=args.crop_size,
+        min_long=args.min_long, max_long=args.max_long,
     )
     loader = DataLoader(
         dataset, args.batch_size, shuffle=True, drop_last=True,
@@ -88,7 +95,13 @@ def main(argv=None):
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     if args.weights:
-        loaded_params, loaded_stats = load_pretrained(args.weights)
+        if args.weights.endswith(".ckpt"):
+            loaded = load_checkpoint(
+                args.weights, {"params": params, "batch_stats": batch_stats}
+            )
+            loaded_params, loaded_stats = loaded["params"], loaded["batch_stats"]
+        else:
+            loaded_params, loaded_stats = load_pretrained(args.weights)
         params = merge_params(params, loaded_params)
         batch_stats = merge_params(batch_stats, loaded_stats)
         print(f"loaded pretrained weights from {args.weights}")
@@ -102,10 +115,11 @@ def main(argv=None):
         state = load_checkpoint(args.resume, state)
         print(f"resumed full train state from {args.resume}")
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(args.batch_size)
     state = replicate(mesh, state)
     compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
-    step_fn = make_train_step(model, tx, args.bg_threshold, compute_dtype=compute_dtype)
+    step_fn = make_train_step(model, tx, args.bg_threshold, low_res=args.low_res,
+                              compute_dtype=compute_dtype)
 
     from wseg_tpu.utils.profiling import trace
 

@@ -34,7 +34,7 @@ def main(argv=None):
     import numpy as np
 
     from wseg_tpu.data.loader import DataLoader
-    from wseg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from wseg_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
     from wseg_tpu.seg.config import EXPERIMENTS
     from wseg_tpu.seg.dataset import generate_dataset
     from wseg_tpu.seg.deeplab import generate_net, seg_param_labels
@@ -120,7 +120,7 @@ def main(argv=None):
     )
     state = SegTrainState(params, tx.init(params), batch_stats, rng)
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.TRAIN_BATCHES)
     state = replicate(mesh, state)
     step_fn = make_seg_train_step(model, tx, with_pred=cfg.TRAIN_TBLOG)
 

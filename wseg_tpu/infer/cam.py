@@ -27,7 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from wseg_tpu.ops.cam import fuse_msf_cams
-from wseg_tpu.ops.resize import _resize_weights_np, resize_bicubic, resize_bilinear
+from wseg_tpu.ops.resize import (
+    _composed_weights_np, _resize_weights_np, resize_bicubic, resize_bilinear,
+    resize_bilinear_chain,
+)
 
 DEFAULT_SCALES = (0.5, 1.0, 1.5, 2.0)
 
@@ -54,6 +57,17 @@ def _np_upsample_ac(cam: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     return np.einsum("oh,hwc->owc", wh, np.einsum("pw,hwc->hpc", ww, cam))
 
 
+def _np_upsample_chain(
+    cam: np.ndarray, mid_hw: tuple[int, int], out_hw: tuple[int, int]
+) -> np.ndarray:
+    """Composed stride-8 -> view (ac=True) -> orig (ac=False) upsample: one
+    matmul pair instead of two (same linear map; at scale 2 the skipped
+    view-size intermediate is 4x the output)."""
+    wh = _composed_weights_np(cam.shape[0], mid_hw[0], out_hw[0], True, False)
+    ww = _composed_weights_np(cam.shape[1], mid_hw[1], out_hw[1], True, False)
+    return np.einsum("oh,hwc->owc", wh, np.einsum("pw,hwc->hpc", ww, cam))
+
+
 class CamInferencer:
     """Variable-size MSF CAM inference with shape-bucketed compiled programs.
 
@@ -65,20 +79,40 @@ class CamInferencer:
     with a persistent compile cache)."""
 
     def __init__(self, model, variables, scales=DEFAULT_SCALES, bucket: int = 64,
-                 device_msf: bool = False):
+                 device_msf: bool = False, mesh=None):
         self.model = model
-        self.variables = variables
         self.scales = scales
         self.bucket = bucket  # pad H,W up to a multiple; None = exact shapes
         self.device_msf = device_msf
+        # mesh: shard infer_batch over the `data` axis (replica-parallel
+        # inference, the TPU-native replacement for the reference's
+        # thread-pool-over-GPU-replicas at contrast_infer.py:46-71)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        self.variables = variables
 
     @functools.lru_cache(maxsize=None)
-    def _forward(self, h: int, w: int):
-        def f(variables, imgs):
-            # stride-8 PCM-refined CAM (inference consumes cam_rv,
-            # contrast_infer.py:61-62); fg channels only
-            _, cam_rv_down = self.model.apply(variables, imgs, raw_cam=True)
-            return cam_rv_down[..., 1:]
+    def _forward(self, h: int, w: int, masked: bool = False):
+        if masked:
+            # bucketed path: valid_hw excludes the zero-pad halo from the
+            # backbone, the CAM max and the PCM affinity, so the valid
+            # region equals the exact-shape forward (ops/pcm.py,
+            # models/resnet38.py valid_mask)
+            def f(variables, imgs, valid_hw):
+                _, cam_rv_down = self.model.apply(
+                    variables, imgs, raw_cam=True, valid_hw=valid_hw
+                )
+                return cam_rv_down[..., 1:]
+        else:
+            def f(variables, imgs):
+                # stride-8 PCM-refined CAM (inference consumes cam_rv,
+                # contrast_infer.py:61-62); fg channels only
+                _, cam_rv_down = self.model.apply(variables, imgs, raw_cam=True)
+                return cam_rv_down[..., 1:]
 
         return jax.jit(f)
 
@@ -99,8 +133,7 @@ class CamInferencer:
                 pair = jnp.stack([view, view[:, ::-1]])
                 _, cam_rv_down = self.model.apply(variables, pair, raw_cam=True)
                 cam = cam_rv_down[..., 1:].astype(jnp.float32)
-                cam = resize_bilinear(cam, (th, tw), align_corners=True)
-                cam = resize_bilinear(cam, (h, w), align_corners=False)
+                cam = resize_bilinear_chain(cam, (th, tw), (h, w))
                 total = total + cam[0] + cam[1, :, ::-1]
             total = total * label[None, None, :]
             return fuse_msf_cams(jnp.transpose(total, (2, 0, 1)))
@@ -132,19 +165,76 @@ class CamInferencer:
             if self.bucket:
                 ph, pw = _round_up(h, self.bucket), _round_up(w, self.bucket)
                 pair = np.pad(pair, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
-            cam = np.asarray(self._forward(*pair.shape[1:3])(self.variables, pair))
+                valid = jnp.asarray([[h, w], [h, w]], jnp.int32)
+                cam = np.asarray(
+                    self._forward(ph, pw, True)(self.variables, pair, valid)
+                )
+            else:
+                cam = np.asarray(self._forward(h, w)(self.variables, pair))
             cam = cam[:, : _ceil8(h), : _ceil8(w)]  # valid stride-8 region
             for i in range(2):
                 # reference resize chain: stride-8 -> view size (a=True,
-                # resnet38_contrast.py:57-58) -> original size (a=False, :62)
-                up = _np_upsample_ac(cam[i], (h, w))
-                up = _np_upsample(up, (h0, w0))
+                # resnet38_contrast.py:57-58) -> original size (a=False, :62),
+                # applied as ONE composed matmul pair
+                up = _np_upsample_chain(cam[i], (h, w), (h0, w0))
                 if i == 1:
                     up = up[:, ::-1]
                 sum_cam += up
         sum_cam = sum_cam * label[None, None, :]
         sum_cam = np.transpose(sum_cam, (2, 0, 1))  # (20, H, W)
         return np.asarray(fuse_msf_cams(jnp.asarray(sum_cam)))
+
+    def infer_batch(
+        self, items: list[tuple[list[np.ndarray], np.ndarray, tuple[int, int]]]
+    ) -> list[np.ndarray]:
+        """Data-parallel MSF inference over a batch of images of DIFFERENT
+        sizes: per scale, every image's flip pair is zero-padded into one
+        bucketed batch with per-sample `valid_hw` masks (exact-forward
+        equivalent, see models/resnet38.py), jitted once per padded shape and
+        sharded over the mesh's `data` axis when a mesh is set. Outputs are
+        identical to per-image `infer_one` calls.
+
+        items: [(views, label, orig_hw), ...]; returns [fused (20, H, W), ...].
+        """
+        bucket = self.bucket or 8
+        b = len(items)
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        # round the batch up to a multiple of the mesh size with repeats
+        b_pad = _round_up(max(b, 1), n_dev)
+        padded_items = list(items) + [items[-1]] * (b_pad - b)
+
+        sums = [np.zeros((*it[2], 20), np.float32) for it in items]
+        for si in range(len(self.scales)):
+            pairs = [
+                np.stack([it[0][2 * si], it[0][2 * si + 1]]) for it in padded_items
+            ]
+            hs = [p.shape[1] for p in pairs]
+            ws = [p.shape[2] for p in pairs]
+            ph, pw = _round_up(max(hs), bucket), _round_up(max(ws), bucket)
+            batch = np.zeros((b_pad * 2, ph, pw, 3), np.float32)
+            valid = np.zeros((b_pad * 2, 2), np.int32)
+            for i, p in enumerate(pairs):
+                batch[2 * i : 2 * i + 2, : hs[i], : ws[i]] = p
+                valid[2 * i : 2 * i + 2] = (hs[i], ws[i])
+            xb, vb = jnp.asarray(batch), jnp.asarray(valid)
+            if self.mesh is not None:
+                xb = jax.device_put(xb, self._data_sharding)
+                vb = jax.device_put(vb, self._data_sharding)
+            cam = np.asarray(self._forward(ph, pw, True)(self.variables, xb, vb))
+            for i in range(b):
+                h, w, (h0, w0) = hs[i], ws[i], items[i][2]
+                cv = cam[2 * i : 2 * i + 2, : _ceil8(h), : _ceil8(w)]
+                for j in range(2):
+                    up = _np_upsample_chain(cv[j], (h, w), (h0, w0))
+                    if j == 1:
+                        up = up[:, ::-1]
+                    sums[i] += up
+        outs = []
+        for i, (views, label, orig_hw) in enumerate(items):
+            s = sums[i] * np.asarray(label)[None, None, :]
+            s = np.transpose(s, (2, 0, 1))
+            outs.append(np.asarray(fuse_msf_cams(jnp.asarray(s))))
+        return outs
 
 
 def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES):
@@ -171,9 +261,10 @@ def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES):
         # fusion chain is numerically sensitive (max-norm of near-ties) and
         # cheap — always fuse in f32
         cam = cam_rv_down[..., 1:].astype(jnp.float32)
-        # reference resize chain: stride-8 -> view (a=True) -> original (a=False)
-        cam = resize_bilinear(cam, (h, w), align_corners=True)
-        cam = resize_bilinear(cam, (h0, w0), align_corners=False)
+        # reference resize chain: stride-8 -> view (a=True) -> original
+        # (a=False), composed into ONE matmul pair — skips the view-size
+        # intermediate (4x the output at scale 2) entirely
+        cam = resize_bilinear_chain(cam, (h, w), (h0, w0))
         cam = cam.reshape(b, 2, h0, w0, 20)
         cam = cam.at[:, 1].set(cam[:, 1, :, ::-1])
         return cam.sum(axis=1)

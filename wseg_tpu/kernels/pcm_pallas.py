@@ -8,11 +8,14 @@ a 604 MB intermediate written and read back per flip-pair. This kernel never
 materializes it: affinity tiles are (re)computed in VMEM on the MXU in two
 passes —
 
-  pass 1 (colsum):    s_j   = sum_i relu(fn_i . fn_j)
-  pass 2 (propagate): out_j = sum_i relu(fn_i . fn_j) * cam_i
+  single pass: each affinity tile A = relu(Fi Fj^T) is computed ONCE on the
+  MXU and consumed for BOTH reductions before being discarded:
+      s_j   += colsum(A)            (column sums for the normalization)
+      out_j += A^T cam_i            (unnormalized propagation)
 
-and the caller divides by (s_j + eps). 2x the FLOPs of the naive three-matmul
-form, ~hw^2/TILE fewer HBM bytes — and PCM is bandwidth-bound on TPU.
+and the caller divides by (s_j + eps). Fewer FLOPs than recomputing A per
+pass and ~hw^2/TILE fewer HBM bytes than the naive three-matmul form — and
+PCM is bandwidth-bound on TPU.
 
 Forward-only (inference); training uses the XLA formulation in ops/pcm.py
 (hw = 56^2 there, where the intermediate is a harmless 39 MB).
@@ -34,32 +37,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _colsum_kernel(fj_ref, fi_ref, out_ref):
+def _pcm_tile_kernel(fj_ref, fi_ref, cam_ref, colsum_ref, acc_ref):
     i = pl.program_id(2)
     aff = jax.nn.relu(
         jnp.dot(fi_ref[:], fj_ref[:].T, preferred_element_type=jnp.float32)
-    )  # (TILE_I, TILE_J)
-    partial = aff.sum(axis=0, keepdims=True)  # (1, TILE_J)
+    )  # (TILE_I, TILE_J), lives only in VMEM
 
     @pl.when(i == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        colsum_ref[:] = jnp.zeros_like(colsum_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    out_ref[:] += partial
-
-
-def _propagate_kernel(fj_ref, fi_ref, cam_ref, out_ref):
-    i = pl.program_id(2)
-    aff = jax.nn.relu(
-        jnp.dot(fi_ref[:], fj_ref[:].T, preferred_element_type=jnp.float32)
-    )  # (TILE_I, TILE_J)
-    partial = jnp.dot(aff.T, cam_ref[:], preferred_element_type=jnp.float32)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    out_ref[:] += partial
+    colsum_ref[:] += aff.sum(axis=0, keepdims=True)  # (1, TILE_J)
+    acc_ref[:] += jnp.dot(aff.T, cam_ref[:], preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
@@ -89,29 +79,26 @@ def pcm_fused(cam: jax.Array, f: jax.Array, eps: float = 1e-5,
     cam_spec = pl.BlockSpec((1, TILE, c_p), lambda b, j, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
 
-    def colsum_kernel(fj_ref, fi_ref, out_ref):
-        _colsum_kernel(fj_ref.at[0], fi_ref.at[0], out_ref.at[0])
+    def tile_kernel(fj_ref, fi_ref, cam_ref, colsum_ref, acc_ref):
+        _pcm_tile_kernel(
+            fj_ref.at[0], fi_ref.at[0], cam_ref.at[0],
+            colsum_ref.at[0], acc_ref.at[0],
+        )
 
-    colsum = pl.pallas_call(
-        colsum_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 1, hw_p), jnp.float32),
-        grid=grid,
-        in_specs=[fj_spec, fi_spec],
-        out_specs=pl.BlockSpec((1, 1, TILE), lambda b, j, i: (b, 0, j),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(fn, fn)
-
-    def propagate_kernel(fj_ref, fi_ref, cam_ref, out_ref):
-        _propagate_kernel(fj_ref.at[0], fi_ref.at[0], cam_ref.at[0], out_ref.at[0])
-
-    acc = pl.pallas_call(
-        propagate_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, hw_p, c_p), jnp.float32),
+    colsum, acc = pl.pallas_call(
+        tile_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1, hw_p), jnp.float32),
+            jax.ShapeDtypeStruct((n, hw_p, c_p), jnp.float32),
+        ),
         grid=grid,
         in_specs=[fj_spec, fi_spec, cam_spec],
-        out_specs=pl.BlockSpec((1, TILE, c_p), lambda b, j, i: (b, j, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, 1, TILE), lambda b, j, i: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, c_p), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
     )(fn, fn, cam_p)
 

@@ -48,12 +48,20 @@ class ResBlock(nn.Module):
     dilation: int = 1
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, get_x_bn_relu: bool = False):
+    def __call__(self, x, *, train: bool = False, get_x_bn_relu: bool = False,
+                 mask_in=None, mask_out=None):
+        """mask_in/mask_out: optional (N, H, W, 1) valid-region masks at the
+        input / post-stride resolution. BN injects its bias into padded
+        ("pad halo") positions; re-zeroing the halo right after each
+        bn+relu makes every conv see exactly the zeros that exact-shape SAME
+        padding would supply — bucketed forward == exact forward."""
         same_shape = self.in_channels == self.out_channels and self.stride == 1
         fd = self.first_dilation if self.first_dilation is not None else self.dilation
 
         branch2 = BatchNorm2d(self.in_channels, name="bn_branch2a")(x)
         branch2 = jax.nn.relu(branch2)
+        if mask_in is not None:
+            branch2 = branch2 * mask_in
         x_bn_relu = branch2
 
         if not same_shape:
@@ -67,6 +75,8 @@ class ResBlock(nn.Module):
         )(branch2)
         branch2 = BatchNorm2d(self.mid_channels, name="bn_branch2b1")(branch2)
         branch2 = jax.nn.relu(branch2)
+        if mask_out is not None:
+            branch2 = branch2 * mask_out
         branch2 = conv(
             self.out_channels, 3, dilation=self.dilation, padding=self.dilation,
             name="conv_branch2b1",
@@ -89,9 +99,12 @@ class ResBlockBot(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, get_x_bn_relu: bool = False):
+    def __call__(self, x, *, train: bool = False, get_x_bn_relu: bool = False,
+                 mask_in=None, mask_out=None):
         branch2 = BatchNorm2d(self.in_channels, name="bn_branch2a")(x)
         branch2 = jax.nn.relu(branch2)
+        if mask_in is not None:
+            branch2 = branch2 * mask_in
         x_bn_relu = branch2
 
         branch1 = conv(self.out_channels, 1, self.stride, name="conv_branch1")(branch2)
@@ -99,6 +112,8 @@ class ResBlockBot(nn.Module):
         branch2 = conv(self.out_channels // 4, 1, self.stride, name="conv_branch2a")(branch2)
         branch2 = BatchNorm2d(self.out_channels // 4, name="bn_branch2b1")(branch2)
         branch2 = jax.nn.relu(branch2)
+        if mask_out is not None:
+            branch2 = branch2 * mask_out
         branch2 = Dropout2d(self.dropout, name="dropout_2b1")(branch2, deterministic=not train)
         branch2 = conv(
             self.out_channels // 2, 3, dilation=self.dilation, padding=self.dilation,
@@ -106,6 +121,8 @@ class ResBlockBot(nn.Module):
         )(branch2)
         branch2 = BatchNorm2d(self.out_channels // 2, name="bn_branch2b2")(branch2)
         branch2 = jax.nn.relu(branch2)
+        if mask_out is not None:
+            branch2 = branch2 * mask_out
         branch2 = Dropout2d(self.dropout, name="dropout_2b2")(branch2, deterministic=not train)
         branch2 = conv(self.out_channels, 1, name="conv_branch2b2")(branch2)
 
@@ -115,42 +132,88 @@ class ResBlockBot(nn.Module):
         return out
 
 
+def valid_mask(valid_hw: jax.Array, hw: tuple[int, int], stride: int) -> jax.Array:
+    """(N, H, W, 1) float mask of each sample's valid region at `stride`.
+
+    valid_hw: (N, 2) int input-resolution valid sizes; hw: static (padded)
+    spatial dims at this stride. Valid extent at stride s is ceil(v/s) — the
+    exact output size chain of the stride-2 convs (k3, p1: ceil(H/2))."""
+    h, w = hw
+    vh = (valid_hw[:, 0] + stride - 1) // stride  # (N,)
+    vw = (valid_hw[:, 1] + stride - 1) // stride
+    rows = jnp.arange(h)[None, :, None] < vh[:, None, None]  # (N, H, 1)
+    cols = jnp.arange(w)[None, None, :] < vw[:, None, None]  # (N, 1, W)
+    return (rows & cols)[..., None].astype(jnp.float32)
+
+
 class ResNet38(nn.Module):
     """Backbone returning the {conv3, conv4, conv5, conv6} tap dict
-    (resnet38d.py:160-189)."""
+    (resnet38d.py:160-189).
+
+    `valid_hw` (N, 2) marks per-sample valid regions when the batch is
+    zero-padded to a common (bucketed) shape: the pad halo is re-zeroed after
+    every bn+relu so valid outputs equal the exact-shape forward (see
+    ResBlock.__call__)."""
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> dict[str, jax.Array]:
+    def __call__(self, x: jax.Array, *, train: bool = False,
+                 valid_hw: jax.Array | None = None) -> dict[str, jax.Array]:
+        n, h0, w0, _ = x.shape
+
+        def mask(stride: int):
+            if valid_hw is None:
+                return None
+            hw = (-(-h0 // stride), -(-w0 // stride))
+            return valid_mask(valid_hw, hw, stride)
+
+        m1, m2, m4, m8 = mask(1), mask(2), mask(4), mask(8)
+
         x = conv(64, 3, padding=1, name="conv1a")(x)
 
-        x = ResBlock(64, 128, 128, stride=2, name="b2")(x, train=train)
-        x = ResBlock(128, 128, 128, name="b2_1")(x, train=train)
-        x = ResBlock(128, 128, 128, name="b2_2")(x, train=train)
+        x = ResBlock(64, 128, 128, stride=2, name="b2")(
+            x, train=train, mask_in=m1, mask_out=m2)
+        x = ResBlock(128, 128, 128, name="b2_1")(
+            x, train=train, mask_in=m2, mask_out=m2)
+        x = ResBlock(128, 128, 128, name="b2_2")(
+            x, train=train, mask_in=m2, mask_out=m2)
 
-        x = ResBlock(128, 256, 256, stride=2, name="b3")(x, train=train)
-        x = ResBlock(256, 256, 256, name="b3_1")(x, train=train)
-        x = ResBlock(256, 256, 256, name="b3_2")(x, train=train)
+        x = ResBlock(128, 256, 256, stride=2, name="b3")(
+            x, train=train, mask_in=m2, mask_out=m4)
+        x = ResBlock(256, 256, 256, name="b3_1")(
+            x, train=train, mask_in=m4, mask_out=m4)
+        x = ResBlock(256, 256, 256, name="b3_2")(
+            x, train=train, mask_in=m4, mask_out=m4)
 
         x, conv3 = ResBlock(256, 512, 512, stride=2, name="b4")(
-            x, train=train, get_x_bn_relu=True
+            x, train=train, get_x_bn_relu=True, mask_in=m4, mask_out=m8
         )
-        x = ResBlock(512, 512, 512, name="b4_1")(x, train=train)
-        x = ResBlock(512, 512, 512, name="b4_2")(x, train=train)
-        x = ResBlock(512, 512, 512, name="b4_3")(x, train=train)
-        x = ResBlock(512, 512, 512, name="b4_4")(x, train=train)
-        x = ResBlock(512, 512, 512, name="b4_5")(x, train=train)
+        x = ResBlock(512, 512, 512, name="b4_1")(
+            x, train=train, mask_in=m8, mask_out=m8)
+        x = ResBlock(512, 512, 512, name="b4_2")(
+            x, train=train, mask_in=m8, mask_out=m8)
+        x = ResBlock(512, 512, 512, name="b4_3")(
+            x, train=train, mask_in=m8, mask_out=m8)
+        x = ResBlock(512, 512, 512, name="b4_4")(
+            x, train=train, mask_in=m8, mask_out=m8)
+        x = ResBlock(512, 512, 512, name="b4_5")(
+            x, train=train, mask_in=m8, mask_out=m8)
 
         x, conv4 = ResBlock(
             512, 512, 1024, stride=1, first_dilation=1, dilation=2, name="b5"
-        )(x, train=train, get_x_bn_relu=True)
-        x = ResBlock(1024, 512, 1024, dilation=2, name="b5_1")(x, train=train)
-        x = ResBlock(1024, 512, 1024, dilation=2, name="b5_2")(x, train=train)
+        )(x, train=train, get_x_bn_relu=True, mask_in=m8, mask_out=m8)
+        x = ResBlock(1024, 512, 1024, dilation=2, name="b5_1")(
+            x, train=train, mask_in=m8, mask_out=m8)
+        x = ResBlock(1024, 512, 1024, dilation=2, name="b5_2")(
+            x, train=train, mask_in=m8, mask_out=m8)
 
         x, conv5 = ResBlockBot(1024, 2048, dilation=4, dropout=0.3, name="b6")(
-            x, train=train, get_x_bn_relu=True
+            x, train=train, get_x_bn_relu=True, mask_in=m8, mask_out=m8
         )
-        x = ResBlockBot(2048, 4096, dilation=4, dropout=0.5, name="b7")(x, train=train)
+        x = ResBlockBot(2048, 4096, dilation=4, dropout=0.5, name="b7")(
+            x, train=train, mask_in=m8, mask_out=m8)
 
         conv6 = jax.nn.relu(BatchNorm2d(4096, name="bn7")(x))
+        if m8 is not None:
+            conv6 = conv6 * m8
 
         return {"conv3": conv3, "conv4": conv4, "conv5": conv5, "conv6": conv6}

@@ -40,15 +40,19 @@ def max_onehot(x: jax.Array) -> jax.Array:
     return jnp.concatenate([x[..., :1], fg], axis=-1)
 
 
-def cam_bg_complete(cam_d: jax.Array, e: float = 1e-5) -> jax.Array:
+def cam_bg_complete(cam_d: jax.Array, e: float = 1e-5, mask=None) -> jax.Array:
     """Detached-CAM normalization used to seed PCM
     (network/resnet38_contrast.py:41-48).
 
     `cam_d`: raw (N, H, W, 21) CAM logits. Per class: relu, divide by spatial
     max (+e); background channel becomes `1 - max(fg)`; fg channels keep only
-    the per-pixel argmax.
+    the per-pixel argmax. `mask` (N, H, W, 1) restricts the spatial max to
+    each sample's valid region and zeroes the output pad halo (bucketed
+    inference; relu'd values are >= 0 so masked max is exact).
     """
     cam_d = jax.nn.relu(cam_d)
+    if mask is not None:
+        cam_d = cam_d * mask
     n, h, w, c = cam_d.shape
     cam_max = cam_d.reshape(n, h * w, c).max(axis=1)[:, None, None, :] + e
     cam_norm = jax.nn.relu(cam_d - e) / cam_max
@@ -56,7 +60,10 @@ def cam_bg_complete(cam_d: jax.Array, e: float = 1e-5) -> jax.Array:
     bg = 1.0 - fg.max(axis=-1, keepdims=True)
     fg_max = fg.max(axis=-1, keepdims=True)
     fg = jnp.where(fg < fg_max, 0.0, fg)
-    return jnp.concatenate([bg, fg], axis=-1)
+    out = jnp.concatenate([bg, fg], axis=-1)
+    if mask is not None:
+        out = out * mask
+    return out
 
 
 def fuse_msf_cams(cam_sum: jax.Array, e: float = 1e-5) -> jax.Array:

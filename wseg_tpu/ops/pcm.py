@@ -20,11 +20,15 @@ import jax.numpy as jnp
 from wseg_tpu.ops.resize import resize_bilinear
 
 
-def pcm(cam: jax.Array, f: jax.Array, eps: float = 1e-5) -> jax.Array:
+def pcm(cam: jax.Array, f: jax.Array, eps: float = 1e-5, mask=None) -> jax.Array:
     """Propagate `cam` through the pixel-affinity of `f`.
 
     cam: (N, Hc, Wc, C) — resized to f's spatial dims (align_corners=True)
     f:   (N, H, W, Cf) — output of the f9 1x1 conv
+    mask: optional (N, H, W, 1) valid-region mask (bucketed inference): pad
+    pixels are removed from the affinity (rows AND columns), so valid outputs
+    equal the exact-shape PCM — without it the column normalization mixes pad
+    features into every valid pixel.
     returns (N, H, W, C)
     """
     n, h, w, cf = f.shape
@@ -33,6 +37,8 @@ def pcm(cam: jax.Array, f: jax.Array, eps: float = 1e-5) -> jax.Array:
 
     fv = f.reshape(n, h * w, cf)
     fv = fv / (jnp.linalg.norm(fv, axis=-1, keepdims=True) + eps)
+    if mask is not None:
+        fv = fv * mask.reshape(n, h * w, 1)
     # aff[i, j] = relu(<f_i, f_j>); column-normalized over i (dim=1 in the
     # reference's (n, hw, hw) layout)
     aff = jax.nn.relu(jnp.einsum("nic,njc->nij", fv, fv))

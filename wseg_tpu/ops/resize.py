@@ -73,6 +73,88 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], align_corners: bool =
 
 
 @functools.lru_cache(maxsize=256)
+def _composed_weights_np(
+    in_size: int, mid_size: int, out_size: int, ac1: bool, ac2: bool
+) -> np.ndarray:
+    """(out, in) matrix of resize(in->mid, ac1) followed by resize(mid->out,
+    ac2), precomposed: bilinear resize is linear, so W = W2 @ W1 applies both
+    steps in ONE matmul — identical operator, no mid-size intermediate. The
+    CAM chain (stride-8 -> view size (ac=True) -> original (ac=False)) would
+    otherwise materialize a view-size tensor that at scale 2 is 4x the output."""
+    w1 = _resize_weights_np(in_size, mid_size, ac1).astype(np.float64)
+    w2 = _resize_weights_np(mid_size, out_size, ac2).astype(np.float64)
+    return (w2 @ w1).astype(np.float32)
+
+
+def resize_bilinear_chain(
+    x: jax.Array, mid_hw: tuple[int, int], out_hw: tuple[int, int],
+    align1: bool = True, align2: bool = False,
+) -> jax.Array:
+    """resize(resize(x, mid_hw, align1), out_hw, align2) as one composed
+    resize (exact same linear map, reassociated)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    mh, mw = int(mid_hw[0]), int(mid_hw[1])
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    wh = jnp.asarray(_composed_weights_np(h, mh, oh, align1, align2))
+    ww = jnp.asarray(_composed_weights_np(w, mw, ow, align1, align2))
+    dtype = x.dtype
+    y = jnp.einsum("oh,nhwc->nowc", wh, x.astype(jnp.float32))
+    y = jnp.einsum("pw,nhwc->nhpc", ww, y)
+    return (y[0] if squeeze else y).astype(dtype)
+
+
+def _valid_linear_weights(
+    valid_in: jax.Array, valid_out: jax.Array, in_size: int, out_size: int,
+    align_corners: bool,
+) -> jax.Array:
+    """(N, out_size, in_size) per-sample bilinear weight matrices for
+    dynamically sized valid regions inside statically padded buffers.
+
+    For sample n only rows < valid_out[n] and cols < valid_in[n] are nonzero;
+    within that block the weights equal `_resize_weights_np(valid_in[n],
+    valid_out[n], align_corners)`. Built with iota arithmetic so one compiled
+    program serves every valid size in a bucket."""
+    vi = valid_in.astype(jnp.float32)[:, None]  # (N, 1)
+    vo = valid_out.astype(jnp.float32)[:, None]
+    o = jnp.arange(out_size, dtype=jnp.float32)[None]  # (1, O)
+    if align_corners:
+        src = o * (vi - 1.0) / jnp.maximum(vo - 1.0, 1.0)
+        src = jnp.where(vo > 1.0, src, 0.0)
+    else:
+        src = (o + 0.5) * (vi / vo) - 0.5
+    src = jnp.clip(src, 0.0, vi - 1.0)  # (N, O)
+    i = jnp.arange(in_size, dtype=jnp.float32)[None, None]  # (1, 1, I)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(i - src[:, :, None]))  # (N, O, I) tent
+    w = w * (i < vi[:, :, None])  # cols beyond valid_in
+    w = w * (o[..., None] < vo[:, :, None])  # rows beyond valid_out
+    return w
+
+
+def resize_bilinear_valid(
+    x: jax.Array, out_hw: tuple[int, int], valid_in: jax.Array,
+    valid_out: jax.Array, align_corners: bool = True,
+) -> jax.Array:
+    """Per-sample valid-region bilinear resize inside padded buffers.
+
+    x: (N, H, W, C) where sample n's content lives in x[n, :valid_in[n, 0],
+    :valid_in[n, 1]] and the rest is padding. Returns (N, *out_hw, C) where
+    each sample's [:valid_out[n, 0], :valid_out[n, 1]] block equals
+    `resize_bilinear` of its valid region, and everything else is zero —
+    the bucketed-inference equivalent of resizing each exact-shape image."""
+    n, h, w, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    wh = _valid_linear_weights(valid_in[:, 0], valid_out[:, 0], h, oh, align_corners)
+    ww = _valid_linear_weights(valid_in[:, 1], valid_out[:, 1], w, ow, align_corners)
+    dtype = x.dtype
+    y = jnp.einsum("noh,nhwc->nowc", wh, x.astype(jnp.float32))
+    y = jnp.einsum("npw,nhwc->nhpc", ww, y)
+    return y.astype(dtype)
+
+
+@functools.lru_cache(maxsize=256)
 def _bicubic_weights_np(in_size: int, out_size: int) -> np.ndarray:
     """(out, in) PIL.Image.BICUBIC-equivalent resampling matrix: Keys cubic
     (a = -0.5) with PIL's antialiasing (filter support scaled by the

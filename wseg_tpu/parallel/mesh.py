@@ -25,6 +25,17 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
+    """Mesh over the largest device subset whose size divides `batch_size`
+    (a sharded leading dim must divide evenly; DataParallel scatters uneven
+    remainders, GSPMD does not)."""
+    import math
+
+    devices = jax.devices()
+    n = math.gcd(batch_size, len(devices))
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     """Place a pytree of host arrays with the leading dim sharded over the
     mesh's data axis."""
