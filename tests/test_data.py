@@ -46,6 +46,15 @@ def test_shipped_voc12_lists_resolve():
     assert load_img_name_list(os.path.join(repo, "voc12", "train_aug.txt"))[0] == (
         "2007_000032"
     )
+    # the bundled class-label dict covers every name in every list
+    cls = np.load(
+        os.path.join(repo, "voc12", "cls_labels.npy"), allow_pickle=True
+    ).item()
+    assert len(cls) == 12031
+    for fname in ("train_aug.txt", "val.txt"):
+        names = load_img_name_list(os.path.join(repo, "voc12", fname))
+        assert all(n in cls for n in names), fname
+        assert cls[names[0]].shape == (20,)
 
 
 def test_random_crop_pads_small_images():
