@@ -35,7 +35,7 @@ def main():
                         "stage-1 train-step imgs/sec (the reference's imps log)")
     parser.add_argument("--height", type=int, default=384)
     parser.add_argument("--width", type=int, default=512)
-    parser.add_argument("--batch", type=int, default=8, help="images per fused call")
+    parser.add_argument("--batch", type=int, default=16, help="images per fused call")
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16",

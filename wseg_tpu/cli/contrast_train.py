@@ -50,6 +50,12 @@ def main(argv=None):
                         choices=["float32", "bfloat16"],
                         help="bfloat16 = mixed-precision step (f32 master "
                         "weights), ~12%% faster")
+    parser.add_argument("--grad_clip", default=0.0, type=float,
+                        help="clip gradients to this global norm before the "
+                        "optimizer (0 = off, the reference behavior; needed "
+                        "when training from RANDOM init, where the "
+                        "unnormalized 4096-ch head yields ~1e2 logits and "
+                        "the x10-lr head groups diverge in one step)")
     args = parser.parse_args(argv)
 
     import jax
@@ -110,6 +116,10 @@ def main(argv=None):
         args.lr, args.wt_dec, max_step, momentum=args.momentum,
         labels=label_params(params),
     )
+    if args.grad_clip > 0:
+        import optax
+
+        tx = optax.chain(optax.clip_by_global_norm(args.grad_clip), tx)
     state = TrainState(params, tx.init(params), batch_stats, rng)
     if args.resume:
         state = load_checkpoint(args.resume, state)
