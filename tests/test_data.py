@@ -104,6 +104,24 @@ def test_extract_affinity_label_matches_reference_semantics():
     )
 
 
+def test_extract_affinity_label_small_grid_matches_model_pair_set():
+    """On grids smaller than 2*radius+1 the affinity head clamps the radius
+    (models/affinity.py); the label extractor must produce the SAME pair set
+    or training crashes on shape mismatch (seen live with --crop_size 64 ->
+    8x8 grid: labels (34, 0) vs affinities (12, 24))."""
+    from wseg_tpu.ops.pairs import radius_pair_indices
+
+    g = 8  # crop 64 -> stride-8 grid
+    ex = ExtractAffinityLabelInRadius(cropsize=g, radius=5)
+    assert ex.radius == (g - 1) // 2  # clamped like the model
+    label = np.zeros((g, g), np.uint8)
+    bg_pos, fg_pos, neg = ex(label)
+    ind_from, ind_to = radius_pair_indices(ex.radius, (g, g))
+    d = ind_to.shape[0] // ind_from.shape[0]
+    assert bg_pos.shape == (d, ind_from.shape[0])
+    assert bg_pos.shape[1] > 0
+
+
 def test_loader_prefetch_and_collate():
     class DS:
         def __len__(self):

@@ -15,6 +15,10 @@ from wseg_tpu.ops.pairs import search_offsets
 
 class ExtractAffinityLabelInRadius:
     def __init__(self, cropsize: int, radius: int = 5):
+        # same small-grid clamp as the affinity head (models/affinity.py):
+        # targets and predictions must use the identical pair set
+        if cropsize < radius * 2 + 1:
+            radius = (cropsize - 1) // 2
         self.radius = radius
         self.search_dist = search_offsets(radius)
         self.radius_floor = radius - 1
