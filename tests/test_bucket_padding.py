@@ -105,3 +105,32 @@ def test_infer_one_bucketed_equals_exact():
         pred_e = np.argmax(np.concatenate([bg, exact]), 0)
         pred_b = np.argmax(np.concatenate([bg, bucketed]), 0)
         np.testing.assert_array_equal(pred_b, pred_e)
+
+
+@pytest.mark.slow
+def test_random_walk_bucketed_equals_reference_pad():
+    """aff_infer's bucket-64 padding produces the SAME pseudo mask as the
+    reference's pad-to-/8 (aff_infer.py:88-91). This holds structurally:
+    pad pixels carry zero CAM mass (no source leakage through the walk), and
+    the transition matrix's column normalization scales every class at a
+    target pixel by the same factor, so the argmax is invariant to the pad
+    halo's extra affinity mass. Verified with randomized frozen-BN stats
+    (the contamination carriers in the CAM-path tests above)."""
+    from wseg_tpu.infer.rw import RandomWalkRefiner
+    from wseg_tpu.models import build_model
+
+    model = build_model("affinity")
+    variables = _realistic_variables(model)
+    rng = np.random.RandomState(0)
+
+    h, w = 70, 90
+    img = rng.rand(h, w, 3).astype(np.float32)
+    cam = np.zeros((h, w, 21), np.float32)
+    cam[..., 0] = 0.27
+    cam[..., 5] = rng.rand(h, w)
+    cam[..., 9] = rng.rand(h, w)
+
+    ref = RandomWalkRefiner(model, variables, beta=2, logt=2, bucket=8).refine_one(img, cam)
+    for bucket in (32, 64):
+        got = RandomWalkRefiner(model, variables, beta=2, logt=2, bucket=bucket).refine_one(img, cam)
+        np.testing.assert_array_equal(got, ref)
