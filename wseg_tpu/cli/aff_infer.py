@@ -25,6 +25,11 @@ def main(argv=None):
     parser.add_argument("--logt", default=6, type=int)
     parser.add_argument("--bg_score", default=0.27, type=float)
     parser.add_argument("--bucket", default=64, type=int)
+    parser.add_argument("--batch_size", default=0, type=int,
+                        help="images per refine_batch call; 0 = one per "
+                        "device. With >1 local chip, batches are sharded "
+                        "over a data-parallel mesh automatically (the "
+                        "reference refines one image on one GPU at a time)")
     args = parser.parse_args(argv)
 
     import imageio
@@ -53,14 +58,23 @@ def main(argv=None):
             "batch_stats": merge_params(variables["batch_stats"], ls),
         }
 
+    n_devices = len(jax.devices())
+    batch_size = args.batch_size or n_devices
+    mesh = None
+    if n_devices > 1:
+        from wseg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel refinement over {n_devices} chips, batch {batch_size}")
     refiner = RandomWalkRefiner(
-        model, variables, beta=args.beta, logt=args.logt, bucket=args.bucket
+        model, variables, beta=args.beta, logt=args.logt, bucket=args.bucket,
+        mesh=mesh,
     )
     normalize = Normalize()
     name_list = load_img_name_list(args.infer_list)
     timer = Timer("RW infer started: ")
 
-    for idx, name in enumerate(name_list):
+    def load_item(name):
         img = np.array(Image.open(get_img_path(name, args.voc12_root)).convert("RGB"))
         h, w = img.shape[:2]
         cam_dict = np.load(
@@ -70,13 +84,28 @@ def main(argv=None):
         for k, v in cam_dict.items():
             cam_full[..., k + 1] = v
         cam_full[..., 0] = args.bg_score
+        return normalize(img), cam_full
 
-        pred = refiner.refine_one(normalize(img), cam_full)
-        imageio.imwrite(os.path.join(args.out_rw, name + ".png"), pred)
+    if mesh is not None or batch_size > 1:
+        bs = max(batch_size, 1)
+        for start in range(0, len(name_list), bs):
+            chunk = name_list[start : start + bs]
+            preds = refiner.refine_batch([load_item(n) for n in chunk])
+            for name, pred in zip(chunk, preds):
+                imageio.imwrite(os.path.join(args.out_rw, name + ".png"), pred)
+            done = min(start + bs, len(name_list))
+            if done % 50 < bs:
+                timer.update_progress(done / len(name_list))
+                print(f"{done}/{len(name_list)}, fin: {timer.str_est_finish()}", flush=True)
+    else:
+        for idx, name in enumerate(name_list):
+            img, cam_full = load_item(name)
+            pred = refiner.refine_one(img, cam_full)
+            imageio.imwrite(os.path.join(args.out_rw, name + ".png"), pred)
 
-        if (idx + 1) % 50 == 0:
-            timer.update_progress((idx + 1) / len(name_list))
-            print(f"{idx + 1}/{len(name_list)}, fin: {timer.str_est_finish()}", flush=True)
+            if (idx + 1) % 50 == 0:
+                timer.update_progress((idx + 1) / len(name_list))
+                print(f"{idx + 1}/{len(name_list)}, fin: {timer.str_est_finish()}", flush=True)
 
     print("done")
 

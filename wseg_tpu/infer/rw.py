@@ -18,12 +18,22 @@ from wseg_tpu.ops.random_walk import random_walk_refine
 
 
 class RandomWalkRefiner:
-    def __init__(self, model, variables, beta: int = 8, logt: int = 6, bucket: int = 64):
+    def __init__(self, model, variables, beta: int = 8, logt: int = 6, bucket: int = 64,
+                 mesh=None):
         self.model = model
-        self.variables = variables
         self.beta = beta
         self.logt = logt
         self.bucket = bucket
+        # mesh: shard refine_batch over the `data` axis (replica-parallel
+        # stage-2 inference; the reference's aff_infer is strictly one image
+        # on one GPU at a time)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        self.variables = variables
 
     @functools.lru_cache(maxsize=None)
     def _program(self, h: int, w: int):
@@ -34,6 +44,64 @@ class RandomWalkRefiner:
             return random_walk_refine(cam, aff_mat, beta=self.beta, logt=self.logt)
 
         return jax.jit(f)
+
+    @functools.lru_cache(maxsize=None)
+    def _batch_program(self, ph: int, pw: int):
+        """One jitted program refining a whole bucketed batch: batched
+        affinity forward, per-image dense matrix + walk under vmap. Outputs
+        are argmax-identical to per-image `refine_one` calls (pad-halo
+        invariance, tests/test_bucket_padding.py)."""
+        from wseg_tpu.ops.pairs import dense_affinity_matrix, radius_pair_indices
+
+        h8, w8 = ph // 8, pw // 8
+        base_r = getattr(self.model, "radius", 5)
+        min_edge = min(h8, w8)
+        radius = (min_edge - 1) // 2 if min_edge < base_r * 2 + 1 else base_r
+        ind_from_np, ind_to_np = radius_pair_indices(radius, (h8, w8))
+
+        def f(variables, imgs, cams):
+            aff = self.model.apply(variables, imgs)  # (B, D, P)
+            ind_from = jnp.asarray(ind_from_np)
+            ind_to = jnp.asarray(ind_to_np)
+
+            def one(a, cam):
+                mat = dense_affinity_matrix(a, ind_from, ind_to, h8 * w8)
+                return random_walk_refine(cam, mat, beta=self.beta, logt=self.logt)
+
+            return jnp.argmax(jax.vmap(one)(aff, cams), axis=-1).astype(jnp.uint8)
+
+        return jax.jit(f)
+
+    def refine_batch(
+        self, items: list[tuple[np.ndarray, np.ndarray]]
+    ) -> list[np.ndarray]:
+        """Data-parallel refinement of a batch of images of different sizes:
+        zero-pad into one bucketed batch, shard over the mesh's `data` axis
+        when a mesh is set. items: [(img_hwc, cam_full), ...]; returns the
+        argmax pseudo masks [(H, W) uint8, ...] at original sizes."""
+        mult = self.bucket or 8
+        b = len(items)
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        b_pad = -(-max(b, 1) // n_dev) * n_dev
+        padded = list(items) + [items[-1]] * (b_pad - b)
+
+        ph = max(-(-im.shape[0] // mult) * mult for im, _ in padded)
+        pw = max(-(-im.shape[1] // mult) * mult for im, _ in padded)
+        imgs = np.zeros((b_pad, ph, pw, 3), np.float32)
+        cams = np.zeros((b_pad, ph, pw, 21), np.float32)
+        for i, (im, cam) in enumerate(padded):
+            h, w = im.shape[:2]
+            imgs[i, :h, :w] = im
+            cams[i, :h, :w] = cam
+        xb, cb = jnp.asarray(imgs), jnp.asarray(cams)
+        if self.mesh is not None:
+            xb = jax.device_put(xb, self._data_sharding)
+            cb = jax.device_put(cb, self._data_sharding)
+        preds = np.asarray(self._batch_program(ph, pw)(self.variables, xb, cb))
+        return [
+            preds[i, : items[i][0].shape[0], : items[i][0].shape[1]]
+            for i in range(b)
+        ]
 
     def refine_one(self, img_hwc: np.ndarray, cam_full: np.ndarray) -> np.ndarray:
         """img_hwc: normalized (H, W, 3); cam_full: (H, W, 21) with bg filled.
