@@ -51,7 +51,14 @@ def main(argv=None):
 
     @functools.lru_cache(maxsize=None)
     def forward(h, w):
-        return jax.jit(lambda v, x: model.apply(v, x))
+        # valid_hw masks the zero-pad bucket halo through the backbone/head
+        # and raw_logits skips the device-side upsample (which would
+        # interpolate over the PADDED stride-8 grid) — together the valid
+        # stride-8 crop equals the exact-shape forward (seg/deeplab.py,
+        # tests/test_seg_bucket.py)
+        return jax.jit(
+            lambda v, x, valid: model.apply(v, x, valid_hw=valid, raw_logits=True)
+        )
 
     def up(logits, out_hw):
         """host bilinear align_corners=True upsample (test.py:84-87)."""
@@ -76,10 +83,13 @@ def main(argv=None):
             ph = -(-vh // mult) * mult
             pw = -(-vw // mult) * mult
             batch = np.stack([np.pad(v, ((0, ph - vh), (0, pw - vw), (0, 0))) for v in views])
-            logits = np.asarray(forward(ph, pw)(variables, batch))
-            logits = logits[:, :vh, :vw]  # valid region at input res
-            for i, lg in enumerate(logits):
-                lg = up(lg, (h, w))
+            valid = jnp.asarray([[vh, vw]] * len(views), jnp.int32)
+            logits8 = np.asarray(forward(ph, pw)(variables, batch, valid))
+            logits8 = logits8[:, : -(-vh // 8), : -(-vw // 8)]  # valid stride-8 region
+            for i, lg in enumerate(logits8):
+                # reference chain: stride-8 -> input size (a=True, inside the
+                # model, deeplabv1.py:51) -> original size (a=True, test.py:84-87)
+                lg = up(up(lg, (vh, vw)), (h, w))
                 if i == 1:
                     lg = lg[:, ::-1]
                 acc += lg

@@ -17,8 +17,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from wseg_tpu.models.layers import BatchNorm2d, conv
-from wseg_tpu.models.resnet38 import ResNet38
+from wseg_tpu.models.resnet38 import ResNet38, valid_mask
 from wseg_tpu.utils.registry import BACKBONES
+
+
+def _apply(x, mask):
+    return x if mask is None else x * mask
 
 
 class BasicBlock(nn.Module):
@@ -31,13 +35,19 @@ class BasicBlock(nn.Module):
     expansion: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask_out=None):
+        """mask_out: optional (N, H', W', 1) valid-region mask at the output
+        (post-stride) resolution. Post-activation ResNet: BN injects its bias
+        into zero-padded ("pad halo") positions; re-zeroing after every relu
+        makes each conv see exactly the zeros that exact-shape SAME padding
+        would supply, so bucketed == exact on the valid region (same scheme
+        as the stage-1 backbone, models/resnet38.py)."""
         bn = partial(BatchNorm2d, momentum=self.bn_mom, frozen=False)
         residual = x
         out = conv(self.planes, 3, self.stride, dilation=self.dilation,
                    padding=self.dilation, name="conv1")(x)
         out = bn(self.planes, name="bn1")(out, use_running_average=not train)
-        out = jax.nn.relu(out)
+        out = _apply(jax.nn.relu(out), mask_out)
         out = conv(self.planes, 3, dilation=self.previous_dilation,
                    padding=self.previous_dilation, name="conv2")(out)
         out = bn(self.planes, name="bn2")(out, use_running_average=not train)
@@ -46,7 +56,7 @@ class BasicBlock(nn.Module):
             residual = bn(self.planes, name="downsample_bn")(
                 residual, use_running_average=not train
             )
-        return jax.nn.relu(out + residual)
+        return _apply(jax.nn.relu(out + residual), mask_out)
 
 
 class Bottleneck(nn.Module):
@@ -59,16 +69,19 @@ class Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask_in=None, mask_out=None):
+        """mask_in/mask_out: valid-region masks at input / post-stride
+        resolution (see BasicBlock; the stride sits on conv2 here, so the
+        first relu is still at input resolution)."""
         bn = partial(BatchNorm2d, momentum=self.bn_mom, frozen=False)
         residual = x
         out = conv(self.planes, 1, name="conv1")(x)
         out = bn(self.planes, name="bn1")(out, use_running_average=not train)
-        out = jax.nn.relu(out)
+        out = _apply(jax.nn.relu(out), mask_in)
         out = conv(self.planes, 3, self.stride, dilation=self.dilation,
                    padding=self.dilation, name="conv2")(out)
         out = bn(self.planes, name="bn2")(out, use_running_average=not train)
-        out = jax.nn.relu(out)
+        out = _apply(jax.nn.relu(out), mask_out)
         out = conv(self.planes * 4, 1, name="conv3")(out)
         out = bn(self.planes * 4, name="bn3")(out, use_running_average=not train)
         if self.downsample:
@@ -76,7 +89,7 @@ class Bottleneck(nn.Module):
             residual = bn(self.planes * 4, name="downsample_bn")(
                 residual, use_running_average=not train
             )
-        return jax.nn.relu(out + residual)
+        return _apply(jax.nn.relu(out + residual), mask_out)
 
 
 class DilatedResNet(nn.Module):
@@ -93,30 +106,52 @@ class DilatedResNet(nn.Module):
     MIDDLE_DIM: int = 256
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None):
+        n, h0, w0, _ = x.shape
+
+        def mask(stride: int):
+            if valid_hw is None:
+                return None
+            hw = (-(-h0 // stride), -(-w0 // stride))
+            return valid_mask(valid_hw, hw, stride)
+
         bn = partial(BatchNorm2d, momentum=self.bn_mom, frozen=False)
         if self.deep_base:
             x = conv(64, 3, 2, padding=1, name="conv1_0")(x)
             x = bn(64, name="conv1_bn0")(x, use_running_average=not train)
-            x = jax.nn.relu(x)
+            x = _apply(jax.nn.relu(x), mask(2))
             x = conv(64, 3, 1, padding=1, name="conv1_1")(x)
             x = bn(64, name="conv1_bn1")(x, use_running_average=not train)
-            x = jax.nn.relu(x)
+            x = _apply(jax.nn.relu(x), mask(2))
             x = conv(128, 3, 1, padding=1, name="conv1_2")(x)
             inplanes = 128
         else:
             x = conv(64, 7, 2, padding=3, name="conv1")(x)
             inplanes = 64
         x = bn(inplanes, name="bn1")(x, use_running_average=not train)
-        x = jax.nn.relu(x)
-        # maxpool k3 s2 p1
+        x = _apply(jax.nn.relu(x), mask(2))
+        # maxpool k3 s2 p1. Valid outputs are pad-safe post-relu (halo zeros
+        # never beat an in-bounds max of non-negative values), but HALO
+        # outputs pick up valid values through the window overlap — re-zero
+        # them before the first 3x3 block conv reads the halo.
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = _apply(x, mask(4))
 
         exp = self.block.expansion
 
-        def make_layer(x, planes, blocks, stride, dilation, name, inplanes):
+        def make_layer(x, planes, blocks, stride, dilation, name, inplanes,
+                       stride_in, stride_out):
             # multi-grid first-block dilations per the reference [3,4,5]
             multi_dil = (3, 4, 5)
+            m_in, m_out = mask(stride_in), mask(stride_out)
+            block_kwargs = (
+                {"mask_in": m_in, "mask_out": m_out}
+                if self.block is Bottleneck else {"mask_out": m_out}
+            )
+            later_kwargs = (
+                {"mask_in": m_out, "mask_out": m_out}
+                if self.block is Bottleneck else {"mask_out": m_out}
+            )
             for i in range(blocks):
                 if i == 0:
                     first_dil = (
@@ -128,7 +163,7 @@ class DilatedResNet(nn.Module):
                         planes, stride=stride, dilation=first_dil,
                         previous_dilation=dilation, downsample=down,
                         bn_mom=self.bn_mom, name=f"{name}_0",
-                    )(x, train=train)
+                    )(x, train=train, **block_kwargs)
                 else:
                     dil = (
                         multi_dil[min(i, 2)]
@@ -138,18 +173,18 @@ class DilatedResNet(nn.Module):
                     x = self.block(
                         planes, dilation=dil, previous_dilation=dilation,
                         bn_mom=self.bn_mom, name=f"{name}_{i}",
-                    )(x, train=train)
+                    )(x, train=train, **later_kwargs)
                 inplanes = planes * exp
             return x, inplanes
 
-        l1, inplanes = make_layer(x, 64, self.layers[0], 1, 1, "layer1", inplanes)
-        l2, inplanes = make_layer(l1, 128, self.layers[1], 2, 1, "layer2", inplanes)
+        l1, inplanes = make_layer(x, 64, self.layers[0], 1, 1, "layer1", inplanes, 4, 4)
+        l2, inplanes = make_layer(l1, 128, self.layers[1], 2, 1, "layer2", inplanes, 4, 8)
         if self.dilated:
-            l3, inplanes = make_layer(l2, 256, self.layers[2], 1, 2, "layer3", inplanes)
-            l4, inplanes = make_layer(l3, 512, self.layers[3], 1, 4, "layer4", inplanes)
+            l3, inplanes = make_layer(l2, 256, self.layers[2], 1, 2, "layer3", inplanes, 8, 8)
+            l4, inplanes = make_layer(l3, 512, self.layers[3], 1, 4, "layer4", inplanes, 8, 8)
         else:
-            l3, inplanes = make_layer(l2, 256, self.layers[2], 2, 1, "layer3", inplanes)
-            l4, inplanes = make_layer(l3, 512, self.layers[3], 2, 1, "layer4", inplanes)
+            l3, inplanes = make_layer(l2, 256, self.layers[2], 2, 1, "layer3", inplanes, 8, 16)
+            l4, inplanes = make_layer(l3, 512, self.layers[3], 2, 1, "layer4", inplanes, 16, 32)
         return [l1, l2, l3, l4]
 
 
@@ -163,8 +198,8 @@ class SegResNet38(nn.Module):
     MIDDLE_DIM: int = 1024
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        d = ResNet38(name="resnet38")(x, train=train)
+    def __call__(self, x, train: bool = False, valid_hw=None):
+        d = ResNet38(name="resnet38")(x, train=train, valid_hw=valid_hw)
         return [d["conv4"], d["conv5"], d["conv6"]]
 
 

@@ -17,10 +17,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from wseg_tpu.models.layers import BatchNorm2d, conv
+from wseg_tpu.models.resnet38 import valid_mask
 from wseg_tpu.ops.resize import resize_bilinear
 from wseg_tpu.seg.backbones import build_backbone
 from wseg_tpu.seg.config import SegConfig
 from wseg_tpu.utils.registry import MODELS
+
+
+def _apply(x, mask):
+    return x if mask is None else x * mask
 
 
 class ConvBNReLU(nn.Module):
@@ -31,17 +36,22 @@ class ConvBNReLU(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         x = conv(self.features, self.kernel, dilation=self.dilation,
                  use_bias=self.use_bias, name="conv")(x)
         x = BatchNorm2d(self.features, momentum=self.bn_mom, frozen=False,
                         name="bn")(x, use_running_average=not train)
-        return jax.nn.relu(x)
+        return _apply(jax.nn.relu(x), mask)
 
 
 class ASPP(nn.Module):
     """Atrous spatial pyramid pooling (operators/ASPP.py:11-81): four dilated
-    branches (+optional global pooling branch), concat, 1x1 + dropout."""
+    branches (+optional global pooling branch), concat, 1x1 + dropout.
+
+    `mask`: optional (N, H, W, 1) valid-region mask for zero-pad-bucketed
+    batches — branch outputs are re-zeroed in the pad halo and the global
+    branch averages over the valid region only, so valid outputs equal the
+    exact-shape forward."""
 
     dim_out: int
     rate: tuple = (1, 6, 12, 18)
@@ -49,17 +59,22 @@ class ASPP(nn.Module):
     has_global: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         n, h, w, c = x.shape
         branches = []
         for i, r in enumerate(self.rate):
             k = 1 if (i == 0 and r == 0) else 3
             branches.append(
                 ConvBNReLU(self.dim_out, k, dilation=max(r, 1), bn_mom=self.bn_mom,
-                           name=f"branch{i + 1}")(x, train=train)
+                           name=f"branch{i + 1}")(x, train=train, mask=mask)
             )
         if self.has_global:
-            g = x.mean(axis=(1, 2), keepdims=True)
+            if mask is None:
+                g = x.mean(axis=(1, 2), keepdims=True)
+            else:
+                g = (x * mask).sum(axis=(1, 2), keepdims=True) / mask.sum(
+                    axis=(1, 2), keepdims=True
+                )
             g = conv(self.dim_out, 1, name="branch5_conv")(g)
             g = BatchNorm2d(self.dim_out, momentum=self.bn_mom, frozen=False,
                             name="branch5_bn")(g, use_running_average=not train)
@@ -68,13 +83,13 @@ class ASPP(nn.Module):
             branches.append(g)
         cat = jnp.concatenate(branches, axis=-1)
         out = ConvBNReLU(self.dim_out, 1, bn_mom=self.bn_mom, name="conv_cat")(
-            cat, train=train
+            cat, train=train, mask=mask
         )
         if train:
             key = self.make_rng("dropout")
             keep = 0.5
-            mask = jax.random.bernoulli(key, keep, out.shape)
-            out = jnp.where(mask, out / keep, 0.0)
+            dmask = jax.random.bernoulli(key, keep, out.shape)
+            out = jnp.where(dmask, out / keep, 0.0)
         return out
 
 
@@ -109,27 +124,42 @@ class DeepLabV1(nn.Module):
     cfg: SegConfig
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None, raw_logits: bool = False):
+        """valid_hw (N, 2): per-sample valid sizes when the batch is
+        zero-pad-bucketed; the pad halo is re-zeroed through the backbone and
+        head so valid outputs equal the exact-shape forward. With
+        `raw_logits` the stride-8 logits are returned pre-upsample (the
+        device-side bilinear over a PADDED grid maps differently than over
+        the exact grid, so exact callers crop the valid stride-8 region and
+        upsample host-side, cli/seg_test.py)."""
         n, h, w, _ = x.shape
         cfg = self.cfg
         backbone = build_backbone(cfg.MODEL_BACKBONE, bn_mom=cfg.TRAIN_BN_MOM)
-        feats = type(backbone)(name="backbone", **_attrs(backbone))(x, train=train)
+        bb_kwargs = {} if valid_hw is None else {"valid_hw": valid_hw}
+        feats = type(backbone)(name="backbone", **_attrs(backbone))(
+            x, train=train, **bb_kwargs)
+        m8 = (
+            None if valid_hw is None
+            else valid_mask(valid_hw, (-(-h // 8), -(-w // 8)), 8)
+        )
         bottom = feats[-1]
         f = conv(512, 3, dilation=12, padding=12, name="conv_fov")(bottom)
         f = BatchNorm2d(512, momentum=cfg.TRAIN_BN_MOM, frozen=False, name="bn_fov")(
             f, use_running_average=not train
         )
-        f = jax.nn.relu(f)
+        f = _apply(jax.nn.relu(f), m8)
         f = conv(512, 1, name="conv_fov2")(f)
         f = BatchNorm2d(512, momentum=cfg.TRAIN_BN_MOM, frozen=False, name="bn_fov2")(
             f, use_running_average=not train
         )
-        f = jax.nn.relu(f)
+        f = _apply(jax.nn.relu(f), m8)
         if train:
             key = self.make_rng("dropout")
             mask = jax.random.bernoulli(key, 0.5, f.shape)
             f = jnp.where(mask, f / 0.5, 0.0)
         out = conv(cfg.MODEL_NUM_CLASSES, 1, use_bias=True, name="cls_conv")(f)
+        if raw_logits:
+            return out
         return resize_bilinear(out, (h, w), align_corners=True)
 
 
@@ -140,19 +170,28 @@ class DeepLabV2(nn.Module):
     cfg: SegConfig
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None, raw_logits: bool = False):
+        """See DeepLabV1.__call__ for valid_hw / raw_logits semantics."""
         n, h, w, _ = x.shape
         cfg = self.cfg
         backbone = build_backbone(cfg.MODEL_BACKBONE, bn_mom=cfg.TRAIN_BN_MOM)
-        feats = type(backbone)(name="backbone", **_attrs(backbone))(x, train=train)
+        bb_kwargs = {} if valid_hw is None else {"valid_hw": valid_hw}
+        feats = type(backbone)(name="backbone", **_attrs(backbone))(
+            x, train=train, **bb_kwargs)
+        m8 = (
+            None if valid_hw is None
+            else valid_mask(valid_hw, (-(-h // 8), -(-w // 8)), 8)
+        )
         f = ASPP(cfg.MODEL_ASPP_OUTDIM, rate=(6, 12, 18, 24),
                  bn_mom=cfg.TRAIN_BN_MOM, has_global=cfg.MODEL_ASPP_HASGLOBAL,
-                 name="aspp")(feats[-1], train=train)
+                 name="aspp")(feats[-1], train=train, mask=m8)
         if train:
             key = self.make_rng("dropout")
             mask = jax.random.bernoulli(key, 0.5, f.shape)
             f = jnp.where(mask, f / 0.5, 0.0)
         out = conv(cfg.MODEL_NUM_CLASSES, 1, use_bias=True, name="cls_conv")(f)
+        if raw_logits:
+            return out
         return resize_bilinear(out, (h, w), align_corners=True)
 
 
@@ -163,15 +202,24 @@ class DeepLabV3(nn.Module):
     cfg: SegConfig
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None, raw_logits: bool = False):
+        """See DeepLabV1.__call__ for valid_hw / raw_logits semantics."""
         n, h, w, _ = x.shape
         cfg = self.cfg
         backbone = build_backbone(cfg.MODEL_BACKBONE, bn_mom=cfg.TRAIN_BN_MOM)
-        feats = type(backbone)(name="backbone", **_attrs(backbone))(x, train=train)
+        bb_kwargs = {} if valid_hw is None else {"valid_hw": valid_hw}
+        feats = type(backbone)(name="backbone", **_attrs(backbone))(
+            x, train=train, **bb_kwargs)
+        m8 = (
+            None if valid_hw is None
+            else valid_mask(valid_hw, (-(-h // 8), -(-w // 8)), 8)
+        )
         f = ASPP(cfg.MODEL_ASPP_OUTDIM, rate=(0, 6, 12, 18),
                  bn_mom=cfg.TRAIN_BN_MOM, has_global=cfg.MODEL_ASPP_HASGLOBAL,
-                 name="aspp")(feats[-1], train=train)
+                 name="aspp")(feats[-1], train=train, mask=m8)
         out = conv(cfg.MODEL_NUM_CLASSES, 1, use_bias=True, name="cls_conv")(f)
+        if raw_logits:
+            return out
         return resize_bilinear(out, (h, w), align_corners=True)
 
 
@@ -183,24 +231,39 @@ class DeepLabV3Plus(nn.Module):
     cfg: SegConfig
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None, raw_logits: bool = False):
+        """See DeepLabV1.__call__ for valid_hw / raw_logits semantics. NB:
+        with valid_hw, the internal stride-8 -> stride-4 upsample still maps
+        over the PADDED grid, so a one-cell interpolation bleed remains at the
+        valid/pad boundary — bounded (unlike the unmasked contamination), but
+        v3+ bucketed is approximate; v1/v2 are exact. The reference's
+        experiments only use v1/v2."""
         n, h, w, _ = x.shape
         cfg = self.cfg
         backbone = build_backbone(cfg.MODEL_BACKBONE, bn_mom=cfg.TRAIN_BN_MOM)
-        feats = type(backbone)(name="backbone", **_attrs(backbone))(x, train=train)
+        bb_kwargs = {} if valid_hw is None else {"valid_hw": valid_hw}
+        feats = type(backbone)(name="backbone", **_attrs(backbone))(
+            x, train=train, **bb_kwargs)
         l1, l4 = feats[0], feats[-1]
+        m8 = m4 = None
+        if valid_hw is not None:
+            m8 = valid_mask(valid_hw, l4.shape[1:3], 8)
+            m4 = valid_mask(valid_hw, l1.shape[1:3], 4)
         f = ASPP(cfg.MODEL_ASPP_OUTDIM, rate=(0, 6, 12, 18),
                  bn_mom=cfg.TRAIN_BN_MOM, has_global=cfg.MODEL_ASPP_HASGLOBAL,
-                 name="aspp")(l4, train=train)
+                 name="aspp")(l4, train=train, mask=m8)
         f = resize_bilinear(f, l1.shape[1:3], align_corners=True)
+        f = _apply(f, m4)
         sc = ConvBNReLU(cfg.MODEL_SHORTCUT_DIM, 3, bn_mom=cfg.TRAIN_BN_MOM,
-                        name="shortcut_conv")(l1, train=train)
+                        name="shortcut_conv")(l1, train=train, mask=m4)
         f = jnp.concatenate([f, sc], axis=-1)
         f = ConvBNReLU(cfg.MODEL_ASPP_OUTDIM, 3, bn_mom=cfg.TRAIN_BN_MOM,
-                       name="cat_conv1")(f, train=train)
+                       name="cat_conv1")(f, train=train, mask=m4)
         f = ConvBNReLU(cfg.MODEL_ASPP_OUTDIM, 3, bn_mom=cfg.TRAIN_BN_MOM,
-                       name="cat_conv2")(f, train=train)
+                       name="cat_conv2")(f, train=train, mask=m4)
         out = conv(cfg.MODEL_NUM_CLASSES, 1, use_bias=True, name="cls_conv")(f)
+        if raw_logits:
+            return out
         return resize_bilinear(out, (h, w), align_corners=True)
 
 

@@ -18,7 +18,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from wseg_tpu.models.layers import BatchNorm2d, conv
+from wseg_tpu.models.resnet38 import valid_mask
 from wseg_tpu.utils.registry import BACKBONES
+
+
+def _apply(x, mask):
+    return x if mask is None else x * mask
 
 
 class SeparableConv(nn.Module):
@@ -31,10 +36,15 @@ class SeparableConv(nn.Module):
     bn_mom: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
+        """mask: optional valid-region mask at the INPUT resolution, applied
+        right before the depthwise conv — the only op here that reads
+        neighbors. The 1x1 pointwise keeps pad-halo garbage in halo lanes,
+        so it needs no re-zeroing (same exactness scheme as seg/backbones.py)."""
         bn = lambda f, name: BatchNorm2d(f, momentum=self.bn_mom, frozen=False, name=name)
         if self.activate_first:
             x = jax.nn.relu(x)
+        x = _apply(x, mask)
         pad = self.dilation * (self.kernel - 1) // 2
         x = nn.Conv(
             self.in_ch, (self.kernel, self.kernel), (self.stride, self.stride),
@@ -61,7 +71,7 @@ class XBlock(nn.Module):
     bn_mom: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask_in=None, mask_out=None):
         at = self.atrous if isinstance(self.atrous, (tuple, list)) else (self.atrous,) * 3
         if self.out_ch != self.in_ch or self.stride != 1:
             skip = conv(self.out_ch, 1, self.stride, name="skip")(x)
@@ -71,12 +81,15 @@ class XBlock(nn.Module):
             skip = x
         filters = self.out_ch if self.grow_first else self.in_ch
         h = SeparableConv(self.in_ch, filters, dilation=at[0], bn_mom=self.bn_mom,
-                          name="sepconv1")(x, train=train)
+                          name="sepconv1")(x, train=train, mask=mask_in)
         h = SeparableConv(filters, self.out_ch, dilation=at[1], bn_mom=self.bn_mom,
-                          name="sepconv2")(h, train=train)
-        hook = h  # the low-level tap the reference exposes via hook_layer
+                          name="sepconv2")(h, train=train, mask=mask_in)
+        # the low-level tap the reference exposes via hook_layer; masked so
+        # the head's 3x3 convs read exact zeros in the halo
+        hook = _apply(h, mask_in)
         h = SeparableConv(self.out_ch, self.out_ch, stride=self.stride,
-                          dilation=at[2], bn_mom=self.bn_mom, name="sepconv3")(h, train=train)
+                          dilation=at[2], bn_mom=self.bn_mom, name="sepconv3")(
+                              h, train=train, mask=mask_in)
         return h + skip, hook
 
 
@@ -88,33 +101,46 @@ class Xception(nn.Module):
     MIDDLE_DIM: int = 256
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None):
         assert self.os in (8, 16), self.os
         stride_list = (2, 1, 1) if self.os == 8 else (2, 2, 1)
         rate = 16 // self.os
         bn = lambda f, name: BatchNorm2d(f, momentum=self.bn_mom, frozen=False, name=name)
 
+        n, h0, w0, _ = x.shape
+
+        def mask(stride: int):
+            if valid_hw is None:
+                return None
+            hw = (-(-h0 // stride), -(-w0 // stride))
+            return valid_mask(valid_hw, hw, stride)
+
         x = conv(32, 3, 2, padding=1, name="conv1")(x)
-        x = jax.nn.relu(bn(32, "bn1")(x, use_running_average=not train))
+        x = _apply(jax.nn.relu(bn(32, "bn1")(x, use_running_average=not train)), mask(2))
         x = conv(64, 3, 1, padding=1, name="conv2")(x)
         x = jax.nn.relu(bn(64, "bn2")(x, use_running_average=not train))
 
-        x, _ = XBlock(64, 128, 2, bn_mom=self.bn_mom, name="block1")(x, train=train)
-        x, l1 = XBlock(128, 256, stride_list[0], bn_mom=self.bn_mom, name="block2")(x, train=train)
-        x, l2 = XBlock(256, 728, stride_list[1], bn_mom=self.bn_mom, name="block3")(x, train=train)
+        s = [2, 4, 4 * stride_list[0], 4 * stride_list[0] * stride_list[1]]
+        s3 = s[3] * stride_list[2]
+        x, _ = XBlock(64, 128, 2, bn_mom=self.bn_mom, name="block1")(
+            x, train=train, mask_in=mask(s[0]), mask_out=mask(s[1]))
+        x, l1 = XBlock(128, 256, stride_list[0], bn_mom=self.bn_mom, name="block2")(
+            x, train=train, mask_in=mask(s[1]), mask_out=mask(s[2]))
+        x, l2 = XBlock(256, 728, stride_list[1], bn_mom=self.bn_mom, name="block3")(
+            x, train=train, mask_in=mask(s[2]), mask_out=mask(s[3]))
         for i in range(4, 20):
             x, _ = XBlock(728, 728, 1, atrous=rate, bn_mom=self.bn_mom,
-                          name=f"block{i}")(x, train=train)
+                          name=f"block{i}")(x, train=train, mask_in=mask(s[3]))
         x, _ = XBlock(728, 1024, stride_list[2], atrous=rate, grow_first=False,
-                      bn_mom=self.bn_mom, name="block20")(x, train=train)
+                      bn_mom=self.bn_mom, name="block20")(x, train=train, mask_in=mask(s[3]))
 
         x = SeparableConv(1024, 1536, dilation=rate, activate_first=False,
-                          bn_mom=self.bn_mom, name="conv3")(x, train=train)
+                          bn_mom=self.bn_mom, name="conv3")(x, train=train, mask=mask(s3))
         x = SeparableConv(1536, 1536, dilation=rate, activate_first=False,
-                          bn_mom=self.bn_mom, name="conv4")(x, train=train)
+                          bn_mom=self.bn_mom, name="conv4")(x, train=train, mask=mask(s3))
         x = SeparableConv(1536, 2048, dilation=rate, activate_first=False,
-                          bn_mom=self.bn_mom, name="conv5")(x, train=train)
-        return [l1, l2, x]
+                          bn_mom=self.bn_mom, name="conv5")(x, train=train, mask=mask(s3))
+        return [l1, l2, _apply(x, mask(s3))]
 
 
 @BACKBONES.register("xception")
