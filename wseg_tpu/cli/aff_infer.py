@@ -35,6 +35,9 @@ def main(argv=None):
     import imageio
     import jax
     import jax.numpy as jnp
+    from wseg_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
     import numpy as np
     from PIL import Image
 

@@ -36,6 +36,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
+    from wseg_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
     import numpy as np
     from concurrent.futures import ThreadPoolExecutor
 

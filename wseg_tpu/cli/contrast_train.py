@@ -60,6 +60,9 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+    from wseg_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
     import numpy as np
 
     from wseg_tpu.data.loader import DataLoader

@@ -22,10 +22,18 @@ def main(argv=None):
     parser.add_argument("--period", default="val")
     parser.add_argument("--no_crf", action="store_true")
     parser.add_argument("--bucket", type=int, default=64)
+    parser.add_argument("--batch_size", type=int, default=0,
+                        help="images per TTA batch; 0 = one per device. With "
+                        ">1 local chip, batches shard over a data-parallel "
+                        "mesh automatically (the reference's single_gpu_test "
+                        "is one image on one GPU)")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+    from wseg_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
     import numpy as np
 
     from wseg_tpu.ops.densecrf import crf_inference_softmax
@@ -66,53 +74,90 @@ def main(argv=None):
         ww = _resize_weights_np(logits.shape[1], out_hw[1], True)
         return np.einsum("oh,hwc->owc", wh, np.einsum("pw,hwc->hpc", ww, logits))
 
+    n_devices = len(jax.devices())
+    batch_size = max(args.batch_size or n_devices, 1)
+    data_sharding = None
+    if n_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from wseg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        data_sharding = NamedSharding(mesh, P("data"))
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        print(f"data-parallel TTA over {n_devices} chips, batch {batch_size}")
+
     mult = args.bucket
+    n_flip = 2 if cfg.TEST_FLIP else 1
     timer = Timer("Seg test started: ")
     result_list = []
-    for idx in range(len(dataset)):
-        sample = dataset[idx]
-        h, w = sample["row"], sample["col"]
-        acc = np.zeros((h, w, cfg.MODEL_NUM_CLASSES), np.float32)
-        n_views = 0
+    for start in range(0, len(dataset), batch_size):
+        chunk = [dataset[i] for i in range(start, min(start + batch_size, len(dataset)))]
+        b = len(chunk)
+        accs = [
+            np.zeros((s["row"], s["col"], cfg.MODEL_NUM_CLASSES), np.float32)
+            for s in chunk
+        ]
         for rate in cfg.TEST_MULTISCALE:
-            img = sample["image_%f" % rate]
-            views = [img]
-            if cfg.TEST_FLIP:
-                views.append(np.flip(img, axis=1).copy())
-            vh, vw = img.shape[:2]
-            ph = -(-vh // mult) * mult
-            pw = -(-vw // mult) * mult
-            batch = np.stack([np.pad(v, ((0, ph - vh), (0, pw - vw), (0, 0))) for v in views])
-            valid = jnp.asarray([[vh, vw]] * len(views), jnp.int32)
-            logits8 = np.asarray(forward(ph, pw)(variables, batch, valid))
-            logits8 = logits8[:, : -(-vh // 8), : -(-vw // 8)]  # valid stride-8 region
-            for i, lg in enumerate(logits8):
-                # reference chain: stride-8 -> input size (a=True, inside the
-                # model, deeplabv1.py:51) -> original size (a=True, test.py:84-87)
-                lg = up(up(lg, (vh, vw)), (h, w))
-                if i == 1:
-                    lg = lg[:, ::-1]
-                acc += lg
-                n_views += 1
-        mean_logits = acc / n_views
-        prob = np.exp(mean_logits - mean_logits.max(axis=-1, keepdims=True))
-        prob /= prob.sum(axis=-1, keepdims=True)
+            imgs = [s["image_%f" % rate] for s in chunk]
+            vhs = [im.shape[0] for im in imgs]
+            vws = [im.shape[1] for im in imgs]
+            ph = -(-max(vhs) // mult) * mult
+            pw = -(-max(vws) // mult) * mult
+            rows = b * n_flip
+            r_pad = -(-rows // n_devices) * n_devices
+            batch = np.zeros((r_pad, ph, pw, 3), np.float32)
+            valid = np.ones((r_pad, 2), np.int32)
+            for i, im in enumerate(imgs):
+                batch[n_flip * i, : vhs[i], : vws[i]] = im
+                if cfg.TEST_FLIP:
+                    batch[n_flip * i + 1, : vhs[i], : vws[i]] = im[:, ::-1]
+                valid[n_flip * i : n_flip * i + n_flip] = (vhs[i], vws[i])
+            # filler rows (mesh-divisibility) replicate the last view so no
+            # degenerate (0, 0) valid region reaches the masked ASPP mean
+            for r in range(rows, r_pad):
+                batch[r] = batch[rows - 1]
+                valid[r] = valid[rows - 1]
+            xb, vb = jnp.asarray(batch), jnp.asarray(valid, jnp.int32)
+            if data_sharding is not None:
+                xb = jax.device_put(xb, data_sharding)
+                vb = jax.device_put(vb, data_sharding)
+            logits8 = np.asarray(forward(ph, pw)(variables, xb, vb))
+            for i in range(b):
+                vh, vw = vhs[i], vws[i]
+                h, w = chunk[i]["row"], chunk[i]["col"]
+                lg8 = logits8[n_flip * i : n_flip * i + n_flip,
+                              : -(-vh // 8), : -(-vw // 8)]
+                for j in range(n_flip):
+                    # reference chain: stride-8 -> input size (a=True, inside
+                    # the model, deeplabv1.py:51) -> original size (a=True,
+                    # test.py:84-87)
+                    lg = up(up(lg8[j], (vh, vw)), (h, w))
+                    if j == 1:
+                        lg = lg[:, ::-1]
+                    accs[i] += lg
+        n_views = len(cfg.TEST_MULTISCALE) * n_flip
+        for i, sample in enumerate(chunk):
+            mean_logits = accs[i] / n_views
+            prob = np.exp(mean_logits - mean_logits.max(axis=-1, keepdims=True))
+            prob /= prob.sum(axis=-1, keepdims=True)
 
-        if cfg.TEST_CRF:
-            img_uint8 = dataset.load_image(sample["name"])
-            prob = crf_inference_softmax(
-                img_uint8, np.transpose(prob, (2, 0, 1)), t=1,
-                labels=cfg.MODEL_NUM_CLASSES,
-            )
-            pred = np.argmax(prob, axis=0).astype(np.uint8)
-        else:
-            pred = np.argmax(prob, axis=-1).astype(np.uint8)
+            if cfg.TEST_CRF:
+                img_uint8 = dataset.load_image(sample["name"])
+                prob = crf_inference_softmax(
+                    img_uint8, np.transpose(prob, (2, 0, 1)), t=1,
+                    labels=cfg.MODEL_NUM_CLASSES,
+                )
+                pred = np.argmax(prob, axis=0).astype(np.uint8)
+            else:
+                pred = np.argmax(prob, axis=-1).astype(np.uint8)
 
-        result_list.append({"name": sample["name"], "predict": pred})
-        dataset.save_result([result_list[-1]], cfg.MODEL_NAME)
-        if (idx + 1) % 25 == 0:
-            timer.update_progress((idx + 1) / len(dataset))
-            print(f"{idx + 1}/{len(dataset)}, fin: {timer.str_est_finish()}", flush=True)
+            result_list.append({"name": sample["name"], "predict": pred})
+            dataset.save_result([result_list[-1]], cfg.MODEL_NAME)
+        done = min(start + batch_size, len(dataset))
+        if done % 25 < batch_size:
+            timer.update_progress(done / len(dataset))
+            print(f"{done}/{len(dataset)}, fin: {timer.str_est_finish()}", flush=True)
 
     if args.period == "test":
         # VOC test split has no public ground truth — predictions are saved
