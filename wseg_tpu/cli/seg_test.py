@@ -105,7 +105,9 @@ def main(argv=None):
             ph = -(-max(vhs) // mult) * mult
             pw = -(-max(vws) // mult) * mult
             rows = b * n_flip
-            r_pad = -(-rows // n_devices) * n_devices
+            # constant row count across chunks (incl. the smaller last one)
+            # so every scale reuses one compiled program per (ph, pw)
+            r_pad = -(-batch_size * n_flip // n_devices) * n_devices
             batch = np.zeros((r_pad, ph, pw, 3), np.float32)
             valid = np.ones((r_pad, 2), np.int32)
             for i, im in enumerate(imgs):
