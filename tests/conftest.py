@@ -16,17 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Machine-local cache dir: a cache shared across heterogeneous hosts (e.g. a
 # /tmp that survives image snapshots) aborts XLA on AOT feature mismatch.
-def _machine_tag() -> str:
-    import hashlib
-    import platform
-
-    try:
-        cpu = open("/proc/cpuinfo").read()
-        model = "".join(l for l in cpu.splitlines() if "model name" in l)[:200]
-    except OSError:
-        model = platform.processor()
-    key = f"{platform.machine()}-{model}-{os.cpu_count()}"
-    return hashlib.sha1(key.encode()).hexdigest()[:12]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from wseg_tpu.utils.jaxsetup import _machine_tag  # noqa: E402 (no jax import)
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_test_cache_{_machine_tag()}"
@@ -42,5 +33,3 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,6 +1,7 @@
 """Data-parallel random-walk refinement from the CLI: `aff_infer.main()`
-over the 8-virtual-device CPU mesh must produce the same pseudo masks as the
-single-device `refine_one` path (stage-2 counterpart of
+over the 8-virtual-device CPU mesh must produce byte-identical pseudo masks
+to the single-device `refine_one` path, including for chunks that MIX
+bucket shapes (stage-2 counterpart of
 tests/test_cli_infer_dp.py; the reference's aff_infer.py refines one image
 on one GPU at a time)."""
 
@@ -46,9 +47,10 @@ def test_cli_aff_infer_data_parallel_matches_single_device(tmp_path):
     from wseg_tpu.models import build_model
     from wseg_tpu.utils.checkpoint import save_checkpoint
 
-    # sizes bucket to the SAME padded dims (128, 128) -> the batched program
-    # shape equals each per-image bucketed shape and comparison is bitwise
-    sizes = [(75, 93), (70, 90), (66, 95)]
+    # mixed BUCKETS on purpose: the last image pads to (128, 192)
+    # while the others pad to (128, 128) — refine_batch must group by
+    # bucket, not pad everything to the chunk max
+    sizes = [(75, 93), (70, 90), (66, 95), (100, 130)]
     root, cam_dir, lst, names = _make_inputs(tmp_path, sizes)
 
     model = build_model("affinity")

@@ -90,16 +90,31 @@ def main(argv=None):
         return normalize(img), cam_full
 
     if mesh is not None or batch_size > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
         bs = max(batch_size, 1)
-        for start in range(0, len(name_list), bs):
-            chunk = name_list[start : start + bs]
-            preds = refiner.refine_batch([load_item(n) for n in chunk])
+        chunks = [name_list[s : s + bs] for s in range(0, len(name_list), bs)]
+        # overlap next-chunk host prep (JPEG decode + cam load) with device
+        # compute, like contrast_infer's prefetch pool
+        pool = ThreadPoolExecutor(max_workers=max(min(args.num_workers, 4), 1))
+
+        def load_chunk(c):
+            return [load_item(n) for n in c]
+
+        fut = pool.submit(load_chunk, chunks[0])
+        done = 0
+        for ci, chunk in enumerate(chunks):
+            items = fut.result()
+            if ci + 1 < len(chunks):
+                fut = pool.submit(load_chunk, chunks[ci + 1])
+            preds = refiner.refine_batch(items)
             for name, pred in zip(chunk, preds):
                 imageio.imwrite(os.path.join(args.out_rw, name + ".png"), pred)
-            done = min(start + bs, len(name_list))
+            done += len(chunk)
             if done % 50 < bs:
                 timer.update_progress(done / len(name_list))
                 print(f"{done}/{len(name_list)}, fin: {timer.str_est_finish()}", flush=True)
+        pool.shutdown()
     else:
         for idx, name in enumerate(name_list):
             img, cam_full = load_item(name)

@@ -78,6 +78,7 @@ def main(argv=None):
         mesh=mesh,
     )
     use_batched = batch_size > 1 or mesh is not None
+    batched_loop = use_batched and not args.device_msf  # device_msf is per-image
 
     crf_pool = ThreadPoolExecutor(max_workers=args.num_workers)
     crf_futures = []
@@ -120,7 +121,7 @@ def main(argv=None):
             )
 
     def progress(done):
-        if done % 50 < (batch_size if use_batched else 1):
+        if done % 50 < (batch_size if batched_loop else 1):
             timer.update_progress(done / len(dataset))
             print(f"{done}/{len(dataset)} imgs, fin: {timer.str_est_finish()}", flush=True)
 
@@ -135,7 +136,7 @@ def main(argv=None):
             pending.append(prep_pool.submit(prepare, nxt))
         return item
 
-    if use_batched and not args.device_msf:
+    if batched_loop:
         idx = 0
         while idx < len(dataset):
             chunk = [next_item(idx + k)

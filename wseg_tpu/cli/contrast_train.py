@@ -105,9 +105,17 @@ def main(argv=None):
 
     if args.weights:
         if args.weights.endswith(".ckpt"):
-            loaded = load_checkpoint(
-                args.weights, {"params": params, "batch_stats": batch_stats}
-            )
+            try:
+                loaded = load_checkpoint(
+                    args.weights, {"params": params, "batch_stats": batch_stats}
+                )
+            except Exception as e:
+                raise SystemExit(
+                    f"--weights {args.weights}: not a params/batch_stats "
+                    "checkpoint. Per-epoch checkpoints hold the FULL train "
+                    "state (params+optimizer+rng) -- load those with "
+                    f"--resume instead. ({e})"
+                ) from e
             loaded_params, loaded_stats = loaded["params"], loaded["batch_stats"]
         else:
             loaded_params, loaded_stats = load_pretrained(args.weights)

@@ -91,8 +91,21 @@ def main(argv=None):
     n_flip = 2 if cfg.TEST_FLIP else 1
     timer = Timer("Seg test started: ")
     result_list = []
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # overlap next-chunk host prep (decode + multiscale resizes) with device
+    # compute
+    prep_pool = ThreadPoolExecutor(max_workers=2)
+
+    def load_chunk(s):
+        return [dataset[i] for i in range(s, min(s + batch_size, len(dataset)))]
+
+    fut = prep_pool.submit(load_chunk, 0)
     for start in range(0, len(dataset), batch_size):
-        chunk = [dataset[i] for i in range(start, min(start + batch_size, len(dataset)))]
+        chunk = fut.result()
+        if start + batch_size < len(dataset):
+            fut = prep_pool.submit(load_chunk, start + batch_size)
         b = len(chunk)
         accs = [
             np.zeros((s["row"], s["col"], cfg.MODEL_NUM_CLASSES), np.float32)
@@ -161,6 +174,7 @@ def main(argv=None):
             timer.update_progress(done / len(dataset))
             print(f"{done}/{len(dataset)}, fin: {timer.str_est_finish()}", flush=True)
 
+    prep_pool.shutdown()
     if args.period == "test":
         # VOC test split has no public ground truth — predictions are saved
         # for server submission only (reference behavior: save_result, no eval)

@@ -75,33 +75,44 @@ class RandomWalkRefiner:
     def refine_batch(
         self, items: list[tuple[np.ndarray, np.ndarray]]
     ) -> list[np.ndarray]:
-        """Data-parallel refinement of a batch of images of different sizes:
-        zero-pad into one bucketed batch, shard over the mesh's `data` axis
-        when a mesh is set. items: [(img_hwc, cam_full), ...]; returns the
-        argmax pseudo masks [(H, W) uint8, ...] at original sizes."""
-        mult = self.bucket or 8
-        b = len(items)
-        n_dev = 1 if self.mesh is None else self.mesh.devices.size
-        b_pad = -(-max(b, 1) // n_dev) * n_dev
-        padded = list(items) + [items[-1]] * (b_pad - b)
+        """Data-parallel refinement of a batch of images: images are GROUPED
+        by their own bucketed dims — each group's padding is identical to
+        what per-image `refine_one` would use, so outputs match it exactly by
+        construction (padding a small image up to a mixed-size chunk's max
+        would instead route extra pad cells through the walk's transition
+        matrix and the final interpolation row). Groups shard over the
+        mesh's `data` axis when a mesh is set.
 
-        ph = max(-(-im.shape[0] // mult) * mult for im, _ in padded)
-        pw = max(-(-im.shape[1] // mult) * mult for im, _ in padded)
-        imgs = np.zeros((b_pad, ph, pw, 3), np.float32)
-        cams = np.zeros((b_pad, ph, pw, 21), np.float32)
-        for i, (im, cam) in enumerate(padded):
-            h, w = im.shape[:2]
-            imgs[i, :h, :w] = im
-            cams[i, :h, :w] = cam
-        xb, cb = jnp.asarray(imgs), jnp.asarray(cams)
-        if self.mesh is not None:
-            xb = jax.device_put(xb, self._data_sharding)
-            cb = jax.device_put(cb, self._data_sharding)
-        preds = np.asarray(self._batch_program(ph, pw)(self.variables, xb, cb))
-        return [
-            preds[i, : items[i][0].shape[0], : items[i][0].shape[1]]
-            for i in range(b)
-        ]
+        items: [(img_hwc, cam_full), ...]; returns the argmax pseudo masks
+        [(H, W) uint8, ...] at original sizes."""
+        mult = self.bucket or 8
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (im, _) in enumerate(items):
+            key = (-(-im.shape[0] // mult) * mult, -(-im.shape[1] // mult) * mult)
+            groups.setdefault(key, []).append(i)
+
+        out: list[np.ndarray | None] = [None] * len(items)
+        for (ph, pw), idxs in groups.items():
+            b = len(idxs)
+            b_pad = -(-b // n_dev) * n_dev
+            imgs = np.zeros((b_pad, ph, pw, 3), np.float32)
+            cams = np.zeros((b_pad, ph, pw, 21), np.float32)
+            for j, i in enumerate(idxs + [idxs[-1]] * (b_pad - b)):
+                im, cam = items[i]
+                h, w = im.shape[:2]
+                imgs[j, :h, :w] = im
+                cams[j, :h, :w] = cam
+            xb, cb = jnp.asarray(imgs), jnp.asarray(cams)
+            if self.mesh is not None:
+                xb = jax.device_put(xb, self._data_sharding)
+                cb = jax.device_put(cb, self._data_sharding)
+            preds = np.asarray(self._batch_program(ph, pw)(self.variables, xb, cb))
+            for j, i in enumerate(idxs):
+                h, w = items[i][0].shape[:2]
+                out[i] = preds[j, :h, :w]
+        return out
 
     def refine_one(self, img_hwc: np.ndarray, cam_full: np.ndarray) -> np.ndarray:
         """img_hwc: normalized (H, W, 3); cam_full: (H, W, 21) with bg filled.

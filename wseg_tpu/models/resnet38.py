@@ -132,6 +132,12 @@ class ResBlockBot(nn.Module):
         return out
 
 
+def apply_mask(x, mask):
+    """Re-zero the pad halo (no-op without a mask) — the primitive the whole
+    bucketed-exactness scheme is built from (see ResBlock.__call__)."""
+    return x if mask is None else x * mask
+
+
 def valid_mask(valid_hw: jax.Array, hw: tuple[int, int], stride: int) -> jax.Array:
     """(N, H, W, 1) float mask of each sample's valid region at `stride`.
 

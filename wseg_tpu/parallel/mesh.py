@@ -33,6 +33,13 @@ def make_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
 
     devices = jax.devices()
     n = math.gcd(batch_size, len(devices))
+    if n < len(devices):
+        print(
+            f"WARNING: batch_size {batch_size} is not divisible by the "
+            f"{len(devices)} local devices -- training data-parallel on only "
+            f"{n} device(s); pick a divisible batch size to use every chip",
+            flush=True,
+        )
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 

@@ -17,15 +17,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from wseg_tpu.models.layers import BatchNorm2d, conv
-from wseg_tpu.models.resnet38 import valid_mask
+from wseg_tpu.models.resnet38 import apply_mask as _apply, valid_mask
 from wseg_tpu.ops.resize import resize_bilinear
 from wseg_tpu.seg.backbones import build_backbone
 from wseg_tpu.seg.config import SegConfig
 from wseg_tpu.utils.registry import MODELS
-
-
-def _apply(x, mask):
-    return x if mask is None else x * mask
 
 
 class ConvBNReLU(nn.Module):
