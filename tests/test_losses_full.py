@@ -41,7 +41,7 @@ def torch_max_onehot(x):
 
 
 def torch_losses(out1, out2, label21, u1, u2, bg_threshold=0.2, low=32,
-                 pin_bg_protos=None):
+                 pin_bg_protos=None, pin_protos=None):
     """Transcription of contrast_train.py:130-395 with view sizes (2*low,
     low) and the random 50% pixel sampling driven by the uniform keys u1/u2
     (smallest n//2 ranks = sample w/o replacement).
@@ -49,9 +49,18 @@ def torch_losses(out1, out2, label21, u1, u2, bg_threshold=0.2, low=32,
     pin_bg_protos: optional (bg1, bg2) vectors to substitute for the
     background prototypes — the bg CAM channel is a constant, so its top-k is
     an ARBITRARY tie-break in both frameworks; pinning removes the one
-    non-deterministic ingredient from the comparison."""
-    cam1, cam_rv1, f_proj1, cam_rv1_down = [_to_t(o) for o in out1]
-    cam2, cam_rv2, f_proj2, cam_rv2_down = [_to_t(o) for o in out2]
+    non-deterministic ingredient from the comparison.
+
+    Accepts either numpy NHWC outputs (value-parity use) or LIVE torch NCHW
+    tensors straight from the reference model — the latter keeps the autograd
+    chain intact so `total.backward()` yields reference gradients
+    (tests/test_gradient_parity.py)."""
+    if torch.is_tensor(out1[0]):
+        cam1, cam_rv1, f_proj1, cam_rv1_down = out1
+        cam2, cam_rv2, f_proj2, cam_rv2_down = out2
+    else:
+        cam1, cam_rv1, f_proj1, cam_rv1_down = [_to_t(o) for o in out1]
+        cam2, cam_rv2, f_proj2, cam_rv2_down = [_to_t(o) for o in out2]
     label = torch.from_numpy(np.asarray(label21)).view(-1, 21, 1, 1)
     n = cam1.shape[0]
 
@@ -107,7 +116,16 @@ def torch_losses(out1, out2, label21, u1, u2, bg_threshold=0.2, low=32,
 
     protos1, pl1 = proto(f_proj1, cam_rv1_down)
     protos2, pl2 = proto(f_proj2, cam_rv2_down)
-    if pin_bg_protos is not None:
+    if pin_protos is not None:
+        # prototypes are detached CONSTANTS in both frameworks' graphs; their
+        # top-k pixel selection tie-breaks on floats that differ by ~1e-5
+        # across frameworks (a flip shifts a prototype by O(1/k)). Pinning
+        # the full matrices to the jax side's values makes gradient
+        # comparison well-posed without touching any differentiated path
+        # (tests/test_gradient_parity.py).
+        protos1 = torch.from_numpy(np.ascontiguousarray(pin_protos[0]))
+        protos2 = torch.from_numpy(np.ascontiguousarray(pin_protos[1]))
+    elif pin_bg_protos is not None:
         protos1 = protos1.clone()
         protos2 = protos2.clone()
         protos1[0] = torch.from_numpy(np.asarray(pin_bg_protos[0]))

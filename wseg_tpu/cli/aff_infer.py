@@ -101,7 +101,7 @@ def main(argv=None):
         def load_chunk(c):
             return [load_item(n) for n in c]
 
-        fut = pool.submit(load_chunk, chunks[0])
+        fut = pool.submit(load_chunk, chunks[0]) if chunks else None
         done = 0
         for ci, chunk in enumerate(chunks):
             items = fut.result()

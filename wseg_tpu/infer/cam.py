@@ -196,11 +196,13 @@ class CamInferencer:
 
         items: [(views, label, orig_hw), ...]; returns [fused (20, H, W), ...].
         """
+        if not items:
+            return []
         bucket = self.bucket or 8
         b = len(items)
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
         # round the batch up to a multiple of the mesh size with repeats
-        b_pad = _round_up(max(b, 1), n_dev)
+        b_pad = _round_up(b, n_dev)
         padded_items = list(items) + [items[-1]] * (b_pad - b)
 
         sums = [np.zeros((*it[2], 20), np.float32) for it in items]

@@ -134,11 +134,8 @@ class DeepLabV1(nn.Module):
         bb_kwargs = {} if valid_hw is None else {"valid_hw": valid_hw}
         feats = type(backbone)(name="backbone", **_attrs(backbone))(
             x, train=train, **bb_kwargs)
-        m8 = (
-            None if valid_hw is None
-            else valid_mask(valid_hw, (-(-h // 8), -(-w // 8)), 8)
-        )
         bottom = feats[-1]
+        m8 = _mask_for(valid_hw, (h, w), bottom.shape[1:3])
         f = conv(512, 3, dilation=12, padding=12, name="conv_fov")(bottom)
         f = BatchNorm2d(512, momentum=cfg.TRAIN_BN_MOM, frozen=False, name="bn_fov")(
             f, use_running_average=not train
@@ -174,10 +171,7 @@ class DeepLabV2(nn.Module):
         bb_kwargs = {} if valid_hw is None else {"valid_hw": valid_hw}
         feats = type(backbone)(name="backbone", **_attrs(backbone))(
             x, train=train, **bb_kwargs)
-        m8 = (
-            None if valid_hw is None
-            else valid_mask(valid_hw, (-(-h // 8), -(-w // 8)), 8)
-        )
+        m8 = _mask_for(valid_hw, (h, w), feats[-1].shape[1:3])
         f = ASPP(cfg.MODEL_ASPP_OUTDIM, rate=(6, 12, 18, 24),
                  bn_mom=cfg.TRAIN_BN_MOM, has_global=cfg.MODEL_ASPP_HASGLOBAL,
                  name="aspp")(feats[-1], train=train, mask=m8)
@@ -206,10 +200,7 @@ class DeepLabV3(nn.Module):
         bb_kwargs = {} if valid_hw is None else {"valid_hw": valid_hw}
         feats = type(backbone)(name="backbone", **_attrs(backbone))(
             x, train=train, **bb_kwargs)
-        m8 = (
-            None if valid_hw is None
-            else valid_mask(valid_hw, (-(-h // 8), -(-w // 8)), 8)
-        )
+        m8 = _mask_for(valid_hw, (h, w), feats[-1].shape[1:3])
         f = ASPP(cfg.MODEL_ASPP_OUTDIM, rate=(0, 6, 12, 18),
                  bn_mom=cfg.TRAIN_BN_MOM, has_global=cfg.MODEL_ASPP_HASGLOBAL,
                  name="aspp")(feats[-1], train=train, mask=m8)
@@ -241,10 +232,8 @@ class DeepLabV3Plus(nn.Module):
         feats = type(backbone)(name="backbone", **_attrs(backbone))(
             x, train=train, **bb_kwargs)
         l1, l4 = feats[0], feats[-1]
-        m8 = m4 = None
-        if valid_hw is not None:
-            m8 = valid_mask(valid_hw, l4.shape[1:3], 8)
-            m4 = valid_mask(valid_hw, l1.shape[1:3], 4)
+        m8 = _mask_for(valid_hw, (h, w), l4.shape[1:3])
+        m4 = _mask_for(valid_hw, (h, w), l1.shape[1:3])
         f = ASPP(cfg.MODEL_ASPP_OUTDIM, rate=(0, 6, 12, 18),
                  bn_mom=cfg.TRAIN_BN_MOM, has_global=cfg.MODEL_ASPP_HASGLOBAL,
                  name="aspp")(l4, train=train, mask=m8)
@@ -261,6 +250,24 @@ class DeepLabV3Plus(nn.Module):
         if raw_logits:
             return out
         return resize_bilinear(out, (h, w), align_corners=True)
+
+
+def _mask_for(valid_hw, in_hw: tuple[int, int], feat_hw) -> jax.Array | None:
+    """Valid-region mask at the backbone's ACTUAL output resolution.
+
+    The output stride is derived from the feature shape instead of being
+    hardcoded to 8, so non-stride-8 backbone configs (xception os=16, an
+    undilated ResNet at os=32) mask correctly instead of hitting a spatial
+    shape mismatch. The ceil(v/s) valid-extent math assumes the static dims
+    follow the same conv output-size chain, which the assert checks."""
+    if valid_hw is None:
+        return None
+    fh, fw = int(feat_hw[0]), int(feat_hw[1])
+    stride = max(1, round(in_hw[0] / fh))
+    assert (-(-in_hw[0] // stride), -(-in_hw[1] // stride)) == (fh, fw), (
+        f"cannot derive output stride: input {in_hw} -> features {(fh, fw)}"
+    )
+    return valid_mask(valid_hw, (fh, fw), stride)
 
 
 def _attrs(module: nn.Module) -> dict:

@@ -67,7 +67,7 @@ class XBlock(nn.Module):
     bn_mom: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False, mask_in=None, mask_out=None):
+    def __call__(self, x, train: bool = False, mask_in=None):
         at = self.atrous if isinstance(self.atrous, (tuple, list)) else (self.atrous,) * 3
         if self.out_ch != self.in_ch or self.stride != 1:
             skip = conv(self.out_ch, 1, self.stride, name="skip")(x)
@@ -118,12 +118,15 @@ class Xception(nn.Module):
 
         s = [2, 4, 4 * stride_list[0], 4 * stride_list[0] * stride_list[1]]
         s3 = s[3] * stride_list[2]
+        # NB: block outputs keep pad-halo garbage in the residual sum; every
+        # consumer (the next block's sepconvs, the exit sepconvs, the head)
+        # masks its own input, so no output mask is needed here.
         x, _ = XBlock(64, 128, 2, bn_mom=self.bn_mom, name="block1")(
-            x, train=train, mask_in=mask(s[0]), mask_out=mask(s[1]))
+            x, train=train, mask_in=mask(s[0]))
         x, l1 = XBlock(128, 256, stride_list[0], bn_mom=self.bn_mom, name="block2")(
-            x, train=train, mask_in=mask(s[1]), mask_out=mask(s[2]))
+            x, train=train, mask_in=mask(s[1]))
         x, l2 = XBlock(256, 728, stride_list[1], bn_mom=self.bn_mom, name="block3")(
-            x, train=train, mask_in=mask(s[2]), mask_out=mask(s[3]))
+            x, train=train, mask_in=mask(s[2]))
         for i in range(4, 20):
             x, _ = XBlock(728, 728, 1, atrous=rate, bn_mom=self.bn_mom,
                           name=f"block{i}")(x, train=train, mask_in=mask(s[3]))

@@ -84,7 +84,10 @@ def convert_torch_state_dict(state: dict) -> tuple[dict, dict]:
         if mapped is None:
             continue
         path, kind = mapped
-        arr = np.asarray(getattr(val, "numpy", lambda: val)())
+        # np.array (copy), NOT np.asarray: torch's .numpy() SHARES storage
+        # with the live tensor, and a later in-place mutation on the torch
+        # side (optimizer.step) would silently change the converted params
+        arr = np.array(getattr(val, "numpy", lambda: val)())
         if kind == "conv":
             arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
             _assign(params, path, arr)
