@@ -28,6 +28,17 @@ import json
 import time
 
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _spread(xs):
+    return {"min": round(min(xs), 4), "median": round(_median(xs), 4),
+            "max": round(max(xs), 4)}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", choices=["cam", "train"], default="cam",
@@ -99,13 +110,18 @@ def main():
     compile_s = time.perf_counter() - t0
     for _ in range(args.warmup):
         run_fused()
-    t0 = time.perf_counter()
+    # per-repetition timing: the ratio below divides two medians, so both
+    # sides need enough repetitions for the median to be stable (the r2
+    # artifact timed the baseline over TWO repetitions and wobbled +-6%)
+    fused_rep_s = []
     for _ in range(args.iters):
+        t0 = time.perf_counter()
         run_fused()
-    dt = time.perf_counter() - t0
-    fused_ips = b * args.iters / dt
+        fused_rep_s.append(time.perf_counter() - t0)
+    fused_ips = b / _median(fused_rep_s)
 
     ref_ips = None
+    ref_rep_s = []
     if not args.skip_reference_style:
         # Reference execution model: ONE device program per view, launched
         # sequentially per image with a host sync between views (the
@@ -155,11 +171,12 @@ def main():
                 float(fuse_ref(cams, label[bi]))
 
         run_reference_style()  # compile
-        n_ref = max(args.iters // 4, 1)
-        t0 = time.perf_counter()
-        for _ in range(n_ref):
+        ref_rep_s = []
+        for _ in range(args.iters):  # SAME repetition count as the fused path
+            t0 = time.perf_counter()
             run_reference_style()
-        ref_ips = b * n_ref / (time.perf_counter() - t0)
+            ref_rep_s.append(time.perf_counter() - t0)
+        ref_ips = b / _median(ref_rep_s)
 
     result = {
         "metric": "CAM imgs/sec/chip (ms+flip infer)",
@@ -172,6 +189,9 @@ def main():
             "dtype": args.dtype,
             "fused_pcm": args.fused_pcm,
             "reference_style_ips": round(ref_ips, 3) if ref_ips else None,
+            "reps": args.iters,
+            "fused_rep_s": _spread(fused_rep_s),
+            "reference_rep_s": _spread(ref_rep_s) if ref_ips else None,
             "first_compile_s": round(compile_s, 1),
             "transfer_note": "baseline syncs per view via scalar checksum; "
             "with the reference's per-view bulk cam transfers it measures "

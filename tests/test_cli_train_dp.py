@@ -1,0 +1,218 @@
+"""Data-parallel TRAINING from the CLIs: `aff_train.main()` and
+`seg_train.main()` driven over the 8-virtual-device CPU mesh must reproduce a
+single-device run on identical data — loss trajectory and final parameters
+(and, for seg, the BN running statistics: batch_stats equality across mesh
+sizes IS the end-to-end SyncBN-semantics proof, replacing the reference's
+thread-rendezvous SynchronizedBatchNorm at
+segmentation/lib/net/sync_batchnorm/batchnorm.py:56-117; DataParallel wiring
+at aff_train.py:93 and seg train.py:63-65).
+
+Mechanics: both runs share the seed, so data order, augmentations
+(num_workers=1 keeps the host RNG sequential) and dropout streams are
+identical; the single-device run patches `make_mesh_for_batch` to a 1-device
+mesh. Differences are then pure GSPMD reduction-order float noise.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+
+def _read_losses(log_path):
+    txt = open(log_path).read()
+    return [float(m) for m in re.findall(r"loss:\s*([0-9.]+)", txt)]
+
+
+def _tree_allclose(a, b, atol, rtol):
+    import jax
+
+    leaves_a = jax.tree_util.tree_leaves_with_path(a)
+    leaves_b = dict(jax.tree_util.tree_leaves_with_path(b))
+    worst = 0.0
+    for path, la in leaves_a:
+        lb = leaves_b[path]
+        diff = np.abs(np.asarray(la, np.float32) - np.asarray(lb, np.float32))
+        scale = np.abs(np.asarray(lb, np.float32)).max() + 1e-8
+        worst = max(worst, float(diff.max() / (atol / rtol + scale)))
+        np.testing.assert_allclose(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            atol=atol, rtol=rtol, err_msg=str(path),
+        )
+    return worst
+
+
+def _single_device_mesh(monkeypatch):
+    import jax
+    from jax.sharding import Mesh
+
+    from wseg_tpu.parallel import mesh as mesh_mod
+
+    def one_dev(batch_size, axis_name="data"):
+        return Mesh(np.asarray(jax.devices()[:1]), (axis_name,))
+
+    monkeypatch.setattr(mesh_mod, "make_mesh_for_batch", one_dev)
+
+
+# ---------------------------------------------------------------------------
+# aff_train
+# ---------------------------------------------------------------------------
+
+
+def _make_aff_root(tmp_path, n_imgs=16, hw=(72, 88)):
+    from PIL import Image
+
+    root = tmp_path / "VOC2012"
+    (root / "JPEGImages").mkdir(parents=True)
+    la = tmp_path / "la"
+    ha = tmp_path / "ha"
+    la.mkdir()
+    ha.mkdir()
+    rng = np.random.RandomState(0)
+    names = []
+    h, w = hw
+    for i in range(n_imgs):
+        name = f"2007_{i:06d}"
+        names.append(name)
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            root / "JPEGImages" / f"{name}.jpg"
+        )
+        for d in (la, ha):
+            # (21, h, w) CRF score arrays, peaked on a couple of classes
+            scores = rng.rand(21, h, w).astype(np.float32) * 0.1
+            scores[0] += 0.5
+            scores[1 + i % 20] += rng.rand(h, w) * 0.8
+            np.save(d / f"{name}.npy", scores / scores.sum(0, keepdims=True))
+    lst = tmp_path / "train.txt"
+    lst.write_text("".join(n + "\n" for n in names))
+    return str(root), str(lst), str(la), str(ha)
+
+
+def _run_aff(tmp_path, tag, batch_size, paths):
+    from wseg_tpu.cli import aff_train
+
+    root, lst, la, ha = paths
+    cwd = os.getcwd()
+    rundir = tmp_path / tag
+    rundir.mkdir()
+    os.chdir(rundir)
+    try:
+        aff_train.main([
+            "--batch_size", str(batch_size), "--max_epoches", "2",
+            "--train_list", lst, "--voc12_root", root,
+            "--la_crf_dir", la, "--ha_crf_dir", ha,
+            "--crop_size", "64", "--num_workers", "1",
+            "--session_name", "t", "--seed", "7",
+        ])
+    finally:
+        os.chdir(cwd)
+    from wseg_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(str(rundir / "result" / "t" / "aff.ckpt"), None)
+    losses = _read_losses(str(rundir / "result" / "t" / "aff.log"))
+    return ckpt, losses
+
+
+@pytest.mark.slow
+def test_cli_aff_train_data_parallel_matches_single_device(tmp_path, monkeypatch):
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest CPU mesh
+
+    paths = _make_aff_root(tmp_path)
+    ckpt_dp, losses_dp = _run_aff(tmp_path, "dp", 8, paths)
+    _single_device_mesh(monkeypatch)
+    ckpt_sd, losses_sd = _run_aff(tmp_path, "sd", 8, paths)
+
+    assert losses_dp and np.all(np.isfinite(losses_dp))
+    np.testing.assert_allclose(losses_dp, losses_sd, rtol=1e-4)
+    _tree_allclose(ckpt_dp["params"], ckpt_sd["params"], atol=1e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# seg_train
+# ---------------------------------------------------------------------------
+
+
+def _make_seg_train_root(tmp_path, n_imgs=8, hw=(80, 96)):
+    from PIL import Image
+
+    root = tmp_path / "VOC2012"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    pseudo = tmp_path / "pseudo"
+    pseudo.mkdir()
+    rng = np.random.RandomState(1)
+    names = []
+    h, w = hw
+    for i in range(n_imgs):
+        name = f"2007_{i:06d}"
+        names.append(name)
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            root / "JPEGImages" / f"{name}.jpg"
+        )
+        mask = rng.randint(0, 5, (h, w)).astype(np.uint8)
+        Image.fromarray(mask).save(root / "SegmentationClass" / f"{name}.png")
+        Image.fromarray(mask).save(pseudo / f"{name}.png")
+    (root / "ImageSets" / "Segmentation" / "trainaug.txt").write_text(
+        "\n".join(names) + "\n"
+    )
+    return str(root), str(pseudo), names
+
+
+def _run_seg(tmp_path, tag, batch_size, paths):
+    from wseg_tpu.cli import seg_train
+
+    root, pseudo = paths
+    cwd = os.getcwd()
+    rundir = tmp_path / tag
+    rundir.mkdir()
+    os.chdir(rundir)
+    try:
+        seg_train.main([
+            "--exp", "SEAM_deeplabv1_resnet38", "--data_root", root,
+            "--pseudo_gt", pseudo, "--iterations", "3",
+            "--batch_size", str(batch_size), "--crop", "64", "--seed", "5",
+        ])
+    finally:
+        os.chdir(cwd)
+    from wseg_tpu.seg.config import EXPERIMENTS
+    from wseg_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = EXPERIMENTS["SEAM_deeplabv1_resnet38"]
+    final = os.path.join(
+        str(rundir), cfg.MODEL_SAVE_DIR,
+        f"{cfg.MODEL_NAME}_{cfg.MODEL_BACKBONE}_{cfg.DATA_NAME}_itr3_all.ckpt",
+    )
+    ckpt = load_checkpoint(final, None)
+    losses = _read_losses(
+        os.path.join(str(rundir), cfg.LOG_DIR, "train.log")
+    )
+    return ckpt, losses
+
+
+@pytest.mark.slow
+def test_cli_seg_train_data_parallel_matches_single_device(tmp_path, monkeypatch):
+    """Covers the CLI loop with sharded batches AND the BN running stats:
+    batch_stats computed from 8 one-sample shards must equal the single-device
+    full-batch stats — the end-to-end SyncBN property."""
+    import jax
+
+    assert len(jax.devices()) == 8
+
+    root, pseudo, _ = _make_seg_train_root(tmp_path)
+    ckpt_dp, losses_dp = _run_seg(tmp_path, "dp", 8, (root, pseudo))
+    _single_device_mesh(monkeypatch)
+    ckpt_sd, losses_sd = _run_seg(tmp_path, "sd", 8, (root, pseudo))
+
+    assert losses_dp and np.all(np.isfinite(losses_dp))
+    np.testing.assert_allclose(losses_dp, losses_sd, rtol=1e-4)
+    # atol 5e-5: GSPMD's 8-shard reduction order differs from the one-device
+    # sum; observed max drift after 3 steps is ~1e-5 on a handful of elements
+    _tree_allclose(ckpt_dp["params"], ckpt_sd["params"], atol=5e-5, rtol=1e-3)
+    # the SyncBN proof: running stats identical across mesh sizes
+    _tree_allclose(
+        ckpt_dp["batch_stats"], ckpt_sd["batch_stats"], atol=5e-5, rtol=1e-3
+    )
