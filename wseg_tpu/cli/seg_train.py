@@ -92,11 +92,12 @@ def main(argv=None):
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     if cfg.MODEL_BACKBONE_WEIGHTS:
-        # overlay a stage-1 backbone checkpoint onto params['backbone']
+        # overlay a stage-1 backbone checkpoint onto params['backbone'].
+        # Raw (template-free) load: the file holds a STAGE-1 model tree, so
+        # restoring against the seg-model template would raise on the head
+        # keys (flax from_bytes is strict about structure)
         if cfg.MODEL_BACKBONE_WEIGHTS.endswith(".ckpt"):
-            loaded = load_checkpoint(
-                cfg.MODEL_BACKBONE_WEIGHTS, {"params": params, "batch_stats": batch_stats}
-            )
+            loaded = load_checkpoint(cfg.MODEL_BACKBONE_WEIGHTS, None)
             lp, ls = loaded["params"], loaded["batch_stats"]
         else:
             lp, ls = load_pretrained(cfg.MODEL_BACKBONE_WEIGHTS)
