@@ -24,6 +24,11 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--crop", type=int, default=None)
+    parser.add_argument("--bn_mom", type=float, default=None,
+                        help="override TRAIN_BN_MOM: the reference's 0.0003 "
+                        "(backbone/resnet38d.py:8) assumes a 20k-iteration "
+                        "schedule; short runs need ~0.1 for the running "
+                        "stats to reach the batch statistics by eval time")
     parser.add_argument("--seed", type=int, default=1)
     args = parser.parse_args(argv)
 
@@ -62,6 +67,8 @@ def main(argv=None):
         cfg = cfg.replace(TRAIN_LR=args.lr)
     if args.crop:
         cfg = cfg.replace(DATA_RANDOMCROP=args.crop)
+    if args.bn_mom:
+        cfg = cfg.replace(TRAIN_BN_MOM=args.bn_mom)
     if args.train_ckpt:
         cfg = cfg.replace(TRAIN_CKPT=args.train_ckpt)
     if args.backbone_weights:
