@@ -79,6 +79,9 @@ def test_cli_seg_test_data_parallel_matches_exact_shapes(tmp_path):
         seg_test.main([
             "--exp", "SEAM_deeplabv1_resnet38", "--data_root", root,
             "--ckpt", ckpt, "--period", "val", "--no_crf",
+            # explicit: the 0=auto default is now 4/device = 32, which pads
+            # this 3-image set 10x on the slow CPU mesh
+            "--batch_size", "8",
         ])
     finally:
         os.chdir(cwd)
