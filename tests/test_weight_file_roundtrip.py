@@ -221,3 +221,47 @@ def test_synthetic_mxnet_params_roundtrip(tmp_path):
         np.asarray(merged["backbone"]["b4_3"]["conv_branch2b1"]["kernel"]),
         named[2][1].transpose(2, 3, 1, 0),
     )
+
+
+@pytest.mark.slow
+def test_stage1_ckpt_into_aff_train_cli(tmp_path):
+    """aff_train --weights with a STAGE-1 (contrast) .ckpt: the affinity
+    model adds f8_5, which the stage-1 tree lacks — the loader must do a
+    partial merge (reference load_state_dict(strict=False) semantics,
+    aff_train.py weight load), not a structure-strict flax restore.
+    Regression for a crash found driving the CLI on the chip (round 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from test_cli_train_dp import _make_aff_root
+    from wseg_tpu.cli import aff_train
+    from wseg_tpu.models import build_model
+    from wseg_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    contrast = build_model("contrast")
+    v = contrast.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    ckpt = tmp_path / "contrast.ckpt"
+    save_checkpoint(str(ckpt), v)
+
+    root, lst, la, ha = _make_aff_root(tmp_path, n_imgs=2)
+    cwd = os.getcwd()
+    rundir = tmp_path / "run"
+    rundir.mkdir()
+    os.chdir(rundir)
+    try:
+        aff_train.main([
+            "--batch_size", "2", "--max_epoches", "1",
+            "--train_list", lst, "--voc12_root", root,
+            "--la_crf_dir", la, "--ha_crf_dir", ha,
+            "--crop_size", "64", "--num_workers", "1",
+            "--weights", str(ckpt),
+            "--session_name", "t", "--seed", "7",
+        ])
+    finally:
+        os.chdir(cwd)
+
+    out = load_checkpoint(str(rundir / "result" / "t" / "aff.ckpt"), None)
+    # backbone came from the stage-1 file; f8_5 exists (fresh init), trained
+    assert "f8_5" in out["params"]
+    conv1a = np.asarray(out["params"]["backbone"]["conv1a"]["kernel"])
+    assert np.all(np.isfinite(conv1a))

@@ -77,9 +77,16 @@ def main(argv=None):
 
     if args.weights:
         if args.weights.endswith(".ckpt"):
-            loaded = load_checkpoint(args.weights, {"params": params, "batch_stats": batch_stats})
-            params = merge_params(params, loaded["params"])
-            batch_stats = merge_params(batch_stats, loaded["batch_stats"])
+            # Template-free load: the file may hold a STAGE-1 (contrast)
+            # tree, which lacks the affinity head's f8_5 — restoring against
+            # this model's template would raise (flax from_bytes is strict
+            # about structure). merge_params keeps unmatched entries at
+            # their init, the reference's load_state_dict(strict=False)
+            # semantics (aff_train's `resnet38_aff` reuses the contrast
+            # backbone the same way).
+            loaded = load_checkpoint(args.weights, None)
+            params = merge_params(params, loaded.get("params", {}))
+            batch_stats = merge_params(batch_stats, loaded.get("batch_stats", {}))
         else:
             lp, ls = load_pretrained(args.weights)
             params = merge_params(params, lp)
