@@ -26,10 +26,11 @@ def main(argv=None):
     parser.add_argument("--bg_score", default=0.27, type=float)
     parser.add_argument("--bucket", default=64, type=int)
     parser.add_argument("--batch_size", default=0, type=int,
-                        help="images per refine_batch call; 0 = 8 per "
+                        help="images per refine_batch call; 0 = 16 per "
                         "device (the walk's dependent small-matmul chain is "
-                        "latency-bound: measured 27 -> 90 imgs/s going from "
-                        "batch 1 to 16 on one chip, ROOFLINE.md 5d). With "
+                        "latency-bound: measured 27 -> 90 -> 99 imgs/s going "
+                        "from batch 1 to 16 to 32 on one chip, ROOFLINE.md "
+                        "5d). With "
                         ">1 local chip, batches also shard over a "
                         "data-parallel mesh (the reference refines one "
                         "image on one GPU at a time)")
@@ -65,7 +66,7 @@ def main(argv=None):
         }
 
     n_devices = len(jax.devices())
-    batch_size = args.batch_size or 8 * n_devices
+    batch_size = args.batch_size or 16 * n_devices
     mesh = None
     if n_devices > 1:
         from wseg_tpu.parallel.mesh import make_mesh
