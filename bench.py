@@ -199,7 +199,8 @@ def main():
             "dtype": args.dtype,
             "fused_pcm": args.fused_pcm,
             "reference_style_ips": round(ref_ips, 3) if ref_ips else None,
-            "reps": args.iters,
+            "fused_reps": f"3 trials x {args.iters} pipelined batches",
+            "baseline_reps": len(ref_rep_s) if ref_rep_s else 0,
             "fused_rep_s": _spread(fused_rep_s),
             "reference_rep_s": _spread(ref_rep_s) if ref_ips else None,
             "first_compile_s": round(compile_s, 1),

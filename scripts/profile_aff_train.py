@@ -57,8 +57,12 @@ def main():
     l0 = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
 
-    lowered = jax.jit(step).lower(state, img, *labels).compile()
-    flops = lowered.cost_analysis().get("flops", 0.0)
+    # reuse the already-compiled wrapper (a fresh jax.jit(step) would lower
+    # and compile the step a second time); unwrap the list some jax
+    # versions return, like profile_stage23._cost
+    ca = jstep.lower(state, img, *labels).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0))
 
     for _ in range(2):
         state, metrics = jstep(state, img, *labels)

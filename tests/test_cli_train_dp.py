@@ -30,17 +30,11 @@ def _tree_allclose(a, b, atol, rtol):
 
     leaves_a = jax.tree_util.tree_leaves_with_path(a)
     leaves_b = dict(jax.tree_util.tree_leaves_with_path(b))
-    worst = 0.0
     for path, la in leaves_a:
-        lb = leaves_b[path]
-        diff = np.abs(np.asarray(la, np.float32) - np.asarray(lb, np.float32))
-        scale = np.abs(np.asarray(lb, np.float32)).max() + 1e-8
-        worst = max(worst, float(diff.max() / (atol / rtol + scale)))
         np.testing.assert_allclose(
-            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            np.asarray(la, np.float32), np.asarray(leaves_b[path], np.float32),
             atol=atol, rtol=rtol, err_msg=str(path),
         )
-    return worst
 
 
 def _single_device_mesh(monkeypatch):

@@ -38,13 +38,13 @@ def _randomized_variables(model, rng_key=0):
     return variables
 
 
-def _check_exact(model):
+def _check_exact(model, pad_hw=(128, 128), hw=(75, 93)):
     import jax
     import jax.numpy as jnp
 
     variables = _randomized_variables(model)
     rng = np.random.RandomState(0)
-    h, w = 75, 93
+    h, w = hw
     x = rng.rand(1, h, w, 3).astype(np.float32)
 
     exact = np.asarray(
@@ -53,7 +53,7 @@ def _check_exact(model):
         )
     )[0]
 
-    xp = np.zeros((1, 128, 128, 3), np.float32)
+    xp = np.zeros((1, pad_hw[0], pad_hw[1], 3), np.float32)
     xp[:, :h, :w] = x
     valid = jnp.asarray([[h, w]], jnp.int32)
     padded = np.asarray(
@@ -114,3 +114,17 @@ def test_deeplabv2_xception_bucketed_equals_exact():
         MODEL_ASPP_HASGLOBAL=True,
     )
     _check_exact(generate_net(cfg))
+
+
+@pytest.mark.slow
+def test_deeplabv1_bucketed_awkward_pad_shape():
+    """Padded heights where round(ph / ceil(ph/8)) != 8 (e.g. 65 -> 9
+    features -> round() says stride 7): the mask stride must come from the
+    backbone's declared output stride, not be derived from shapes — shape
+    derivation is ambiguous exactly here. Regression for a round-3 review
+    finding."""
+    from wseg_tpu.seg.config import EXPERIMENTS
+    from wseg_tpu.seg.deeplab import generate_net
+
+    model = generate_net(EXPERIMENTS["SEAM_deeplabv1_resnet38"])
+    _check_exact(model, pad_hw=(65, 105), hw=(57, 97))

@@ -114,8 +114,10 @@ def main(argv=None):
             preds = refiner.refine_batch(items)
             for name, pred in zip(chunk, preds):
                 imageio.imwrite(os.path.join(args.out_rw, name + ".png"), pred)
-            done += len(chunk)
-            if done % 50 < bs:
+            prev, done = done, done + len(chunk)
+            # progress whenever a 50-image boundary is crossed (= every
+            # chunk once chunks exceed 50 images)
+            if done // 50 > prev // 50 or done == len(name_list):
                 timer.update_progress(done / len(name_list))
                 print(f"{done}/{len(name_list)}, fin: {timer.str_est_finish()}", flush=True)
         pool.shutdown()

@@ -85,12 +85,15 @@ def main(argv=None):
             # semantics (aff_train's `resnet38_aff` reuses the contrast
             # backbone the same way).
             loaded = load_checkpoint(args.weights, None)
-            params = merge_params(params, loaded.get("params", {}))
-            batch_stats = merge_params(batch_stats, loaded.get("batch_stats", {}))
+            params = merge_params(params, loaded.get("params", {}),
+                                  what=f"params from {args.weights}")
+            batch_stats = merge_params(batch_stats, loaded.get("batch_stats", {}),
+                                       what=f"batch_stats from {args.weights}")
         else:
             lp, ls = load_pretrained(args.weights)
-            params = merge_params(params, lp)
-            batch_stats = merge_params(batch_stats, ls)
+            params = merge_params(params, lp, what=f"params from {args.weights}")
+            batch_stats = merge_params(batch_stats, ls,
+                                       what=f"batch_stats from {args.weights}")
         print(f"loaded weights from {args.weights}")
 
     tx = poly_sgd(args.lr, args.wt_dec, max_step, momentum=args.momentum,

@@ -119,8 +119,10 @@ def main(argv=None):
             loaded_params, loaded_stats = loaded["params"], loaded["batch_stats"]
         else:
             loaded_params, loaded_stats = load_pretrained(args.weights)
-        params = merge_params(params, loaded_params)
-        batch_stats = merge_params(batch_stats, loaded_stats)
+        params = merge_params(params, loaded_params,
+                              what=f"params from {args.weights}")
+        batch_stats = merge_params(batch_stats, loaded_stats,
+                                   what=f"batch_stats from {args.weights}")
         print(f"loaded pretrained weights from {args.weights}")
 
     tx = poly_sgd(

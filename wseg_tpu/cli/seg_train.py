@@ -67,7 +67,7 @@ def main(argv=None):
         cfg = cfg.replace(TRAIN_LR=args.lr)
     if args.crop:
         cfg = cfg.replace(DATA_RANDOMCROP=args.crop)
-    if args.bn_mom:
+    if args.bn_mom is not None:  # 0.0 (fully frozen stats) is a valid value
         cfg = cfg.replace(TRAIN_BN_MOM=args.bn_mom)
     if args.train_ckpt:
         cfg = cfg.replace(TRAIN_CKPT=args.train_ckpt)
@@ -105,15 +105,18 @@ def main(argv=None):
         # keys (flax from_bytes is strict about structure)
         if cfg.MODEL_BACKBONE_WEIGHTS.endswith(".ckpt"):
             loaded = load_checkpoint(cfg.MODEL_BACKBONE_WEIGHTS, None)
-            lp, ls = loaded["params"], loaded["batch_stats"]
+            lp = loaded.get("params", {})
+            ls = loaded.get("batch_stats", {})  # params-only ckpts are fine
         else:
             lp, ls = load_pretrained(cfg.MODEL_BACKBONE_WEIGHTS)
         # stage-1 trees root at 'backbone'; seg resnet38 nests it one deeper
         if cfg.MODEL_BACKBONE == "resnet38" and "backbone" in lp:
             lp = {"backbone": {"resnet38": lp["backbone"]}}
             ls = {"backbone": {"resnet38": ls.get("backbone", {})}}
-        params = merge_params(params, lp)
-        batch_stats = merge_params(batch_stats, ls)
+        params = merge_params(params, lp,
+                              what=f"params from {cfg.MODEL_BACKBONE_WEIGHTS}")
+        batch_stats = merge_params(batch_stats, ls,
+                                   what=f"batch_stats from {cfg.MODEL_BACKBONE_WEIGHTS}")
         print(f"loaded backbone weights from {cfg.MODEL_BACKBONE_WEIGHTS}")
 
     if cfg.TRAIN_CKPT:

@@ -101,6 +101,11 @@ class DilatedResNet(nn.Module):
     OUTPUT_DIM: int = 2048
     MIDDLE_DIM: int = 256
 
+    @property
+    def feature_strides(self) -> tuple:
+        # stride of each returned tap [l1, l2, l3, l4]
+        return (4, 8, 8, 8) if self.dilated else (4, 8, 16, 32)
+
     @nn.compact
     def __call__(self, x, train: bool = False, valid_hw=None):
         n, h0, w0, _ = x.shape
@@ -192,6 +197,9 @@ class SegResNet38(nn.Module):
 
     OUTPUT_DIM: int = 4096
     MIDDLE_DIM: int = 1024
+
+    # [conv4, conv5, conv6] all live on the stride-8 grid (dilated trunk)
+    feature_strides: tuple = (8, 8, 8)
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_hw=None):

@@ -135,7 +135,8 @@ class DeepLabV1(nn.Module):
         feats = type(backbone)(name="backbone", **_attrs(backbone))(
             x, train=train, **bb_kwargs)
         bottom = feats[-1]
-        m8 = _mask_for(valid_hw, (h, w), bottom.shape[1:3])
+        m8 = _mask_for(valid_hw, (h, w), bottom.shape[1:3],
+                       backbone.feature_strides[-1])
         f = conv(512, 3, dilation=12, padding=12, name="conv_fov")(bottom)
         f = BatchNorm2d(512, momentum=cfg.TRAIN_BN_MOM, frozen=False, name="bn_fov")(
             f, use_running_average=not train
@@ -171,7 +172,8 @@ class DeepLabV2(nn.Module):
         bb_kwargs = {} if valid_hw is None else {"valid_hw": valid_hw}
         feats = type(backbone)(name="backbone", **_attrs(backbone))(
             x, train=train, **bb_kwargs)
-        m8 = _mask_for(valid_hw, (h, w), feats[-1].shape[1:3])
+        m8 = _mask_for(valid_hw, (h, w), feats[-1].shape[1:3],
+                       backbone.feature_strides[-1])
         f = ASPP(cfg.MODEL_ASPP_OUTDIM, rate=(6, 12, 18, 24),
                  bn_mom=cfg.TRAIN_BN_MOM, has_global=cfg.MODEL_ASPP_HASGLOBAL,
                  name="aspp")(feats[-1], train=train, mask=m8)
@@ -200,7 +202,8 @@ class DeepLabV3(nn.Module):
         bb_kwargs = {} if valid_hw is None else {"valid_hw": valid_hw}
         feats = type(backbone)(name="backbone", **_attrs(backbone))(
             x, train=train, **bb_kwargs)
-        m8 = _mask_for(valid_hw, (h, w), feats[-1].shape[1:3])
+        m8 = _mask_for(valid_hw, (h, w), feats[-1].shape[1:3],
+                       backbone.feature_strides[-1])
         f = ASPP(cfg.MODEL_ASPP_OUTDIM, rate=(0, 6, 12, 18),
                  bn_mom=cfg.TRAIN_BN_MOM, has_global=cfg.MODEL_ASPP_HASGLOBAL,
                  name="aspp")(feats[-1], train=train, mask=m8)
@@ -232,8 +235,10 @@ class DeepLabV3Plus(nn.Module):
         feats = type(backbone)(name="backbone", **_attrs(backbone))(
             x, train=train, **bb_kwargs)
         l1, l4 = feats[0], feats[-1]
-        m8 = _mask_for(valid_hw, (h, w), l4.shape[1:3])
-        m4 = _mask_for(valid_hw, (h, w), l1.shape[1:3])
+        m8 = _mask_for(valid_hw, (h, w), l4.shape[1:3],
+                       backbone.feature_strides[-1])
+        m4 = _mask_for(valid_hw, (h, w), l1.shape[1:3],
+                       backbone.feature_strides[0])
         f = ASPP(cfg.MODEL_ASPP_OUTDIM, rate=(0, 6, 12, 18),
                  bn_mom=cfg.TRAIN_BN_MOM, has_global=cfg.MODEL_ASPP_HASGLOBAL,
                  name="aspp")(l4, train=train, mask=m8)
@@ -252,20 +257,23 @@ class DeepLabV3Plus(nn.Module):
         return resize_bilinear(out, (h, w), align_corners=True)
 
 
-def _mask_for(valid_hw, in_hw: tuple[int, int], feat_hw) -> jax.Array | None:
-    """Valid-region mask at the backbone's ACTUAL output resolution.
+def _mask_for(valid_hw, in_hw: tuple[int, int], feat_hw,
+              stride: int) -> jax.Array | None:
+    """Valid-region mask at the backbone's output resolution.
 
-    The output stride is derived from the feature shape instead of being
-    hardcoded to 8, so non-stride-8 backbone configs (xception os=16, an
-    undilated ResNet at os=32) mask correctly instead of hitting a spatial
-    shape mismatch. The ceil(v/s) valid-extent math assumes the static dims
-    follow the same conv output-size chain, which the assert checks."""
+    `stride` is the backbone's declared output stride (its
+    `.output_stride` — 8 for the dilated presets, 16 for xception os=16,
+    32 for an undilated ResNet). It cannot be derived from shapes alone:
+    several strides can reproduce the same padded (fh, fw) while
+    disagreeing on the valid extents ceil(v/s) that the mask needs. The
+    assert checks the declared stride is consistent with the feature
+    shape actually produced."""
     if valid_hw is None:
         return None
     fh, fw = int(feat_hw[0]), int(feat_hw[1])
-    stride = max(1, round(in_hw[0] / fh))
     assert (-(-in_hw[0] // stride), -(-in_hw[1] // stride)) == (fh, fw), (
-        f"cannot derive output stride: input {in_hw} -> features {(fh, fw)}"
+        f"backbone output stride {stride} inconsistent with input {in_hw} "
+        f"-> features {(fh, fw)}"
     )
     return valid_mask(valid_hw, (fh, fw), stride)
 

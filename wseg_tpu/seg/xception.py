@@ -96,6 +96,13 @@ class Xception(nn.Module):
     OUTPUT_DIM: int = 2048
     MIDDLE_DIM: int = 256
 
+    @property
+    def feature_strides(self) -> tuple:
+        # stride of each returned tap [l1, l2, exit]: XBlock taps are
+        # pre-stride (the reference's hook_layer), so l1/l2 sit at the
+        # block INPUT strides; stride_list[0] is 2 for both os=8 and os=16
+        return (4, 8, self.os)
+
     @nn.compact
     def __call__(self, x, train: bool = False, valid_hw=None):
         assert self.os in (8, 16), self.os

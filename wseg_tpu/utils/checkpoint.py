@@ -270,19 +270,26 @@ def load_pretrained(weights_path: str) -> tuple[dict, dict]:
     raise ValueError(f"unknown checkpoint format: {weights_path}")
 
 
-def merge_params(init_params: dict, loaded: dict, strict: bool = False) -> dict:
+def merge_params(init_params: dict, loaded: dict, strict: bool = False,
+                 what: str = "") -> dict:
     """Overlay loaded params onto an init tree, ignoring missing/mismatched
-    entries like `load_state_dict(strict=False)` (contrast_train.py:106)."""
-    import jax
+    entries like `load_state_dict(strict=False)` (contrast_train.py:106).
+
+    With `what` set (e.g. "params from x.ckpt"), prints how many leaves
+    matched and warns when NONE did — a structurally alien file would
+    otherwise "load" silently and train from random init."""
+    counts = [0, 0]  # merged, total init leaves
 
     def merge(init_node, loaded_node, path=""):
         if not isinstance(init_node, dict):
+            counts[1] += 1
             if loaded_node is None:
                 return init_node
             if np.shape(loaded_node) != np.shape(init_node):
                 if strict:
                     raise ValueError(f"shape mismatch at {path}")
                 return init_node
+            counts[0] += 1
             return np.asarray(loaded_node, dtype=np.asarray(init_node).dtype)
         out = {}
         for k, v in init_node.items():
@@ -294,4 +301,14 @@ def merge_params(init_params: dict, loaded: dict, strict: bool = False) -> dict:
                 raise ValueError(f"unexpected keys at {path}: {extra}")
         return out
 
-    return merge(init_params, loaded)
+    out = merge(init_params, loaded)
+    if what:
+        print(f"merged {counts[0]}/{counts[1]} {what}")
+        if counts[0] == 0 and counts[1] > 0:
+            import warnings
+
+            warnings.warn(
+                f"no {what} matched the model tree — the file's structure "
+                "does not overlap this model; everything stays at init"
+            )
+    return out
