@@ -102,3 +102,21 @@ def test_read_mxnet_params_and_rename(tmp_path):
     assert stats["backbone"]["b3"]["bn_branch2a"]["mean"].shape == (128,)
     assert stats["backbone"]["bn7"]["var"].shape == (8,)
     assert "linear1000" not in str(params)
+
+
+def test_merge_params_reports_and_warns_on_alien_tree():
+    """merge_params with `what` prints merged/total counts and warns when a
+    structurally alien file matches NOTHING — a silent total no-op would
+    otherwise 'load' and train from random init (round-3 review finding)."""
+    import warnings
+
+    from wseg_tpu.utils.checkpoint import merge_params
+
+    init = {"a": {"k": np.zeros((2, 2), np.float32)}, "b": np.zeros(3, np.float32)}
+    out = merge_params(init, {"a": {"k": np.ones((2, 2))}}, what="params from t")
+    assert out["a"]["k"].sum() == 4 and out["b"].sum() == 0
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        merge_params(init, {"alien": 1}, what="params from alien.ckpt")
+    assert any("matched" in str(x.message) for x in w)

@@ -1,5 +1,5 @@
-"""Data-parallel TRAINING from the CLIs: `aff_train.main()` and
-`seg_train.main()` driven over the 8-virtual-device CPU mesh must reproduce a
+"""Data-parallel TRAINING from the CLIs: `contrast_train.main()`,
+`aff_train.main()` and `seg_train.main()` driven over the 8-virtual-device CPU mesh must reproduce a
 single-device run on identical data — loss trajectory and final parameters
 (and, for seg, the BN running statistics: batch_stats equality across mesh
 sizes IS the end-to-end SyncBN-semantics proof, replacing the reference's
@@ -210,3 +210,57 @@ def test_cli_seg_train_data_parallel_matches_single_device(tmp_path, monkeypatch
     _tree_allclose(
         ckpt_dp["batch_stats"], ckpt_sd["batch_stats"], atol=5e-5, rtol=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# contrast_train (stage 1 — the flagship trainer)
+# ---------------------------------------------------------------------------
+
+
+def _run_contrast(tmp_path, tag, batch_size, root, lst):
+    from wseg_tpu.cli import contrast_train
+
+    cwd = os.getcwd()
+    rundir = tmp_path / tag
+    rundir.mkdir()
+    os.chdir(rundir)
+    try:
+        contrast_train.main([
+            "--batch_size", str(batch_size), "--max_epoches", "2",
+            "--train_list", lst, "--voc12_root", root,
+            "--crop_size", "64", "--num_workers", "1",
+            "--grad_clip", "5.0",
+            "--session_name", "t", "--seed", "7",
+        ])
+    finally:
+        os.chdir(cwd)
+    from wseg_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(str(rundir / "result" / "t" / "contrast.ckpt"), None)
+    losses = _read_losses(str(rundir / "result" / "t" / "contrast.log"))
+    return ckpt, losses
+
+
+@pytest.mark.slow
+def test_cli_contrast_train_data_parallel_matches_single_device(tmp_path, monkeypatch):
+    """Stage-1 dual-view contrast training from the CLI on the 8-device mesh
+    vs one device, identical data/seed: loss trajectory, final params AND
+    batch_stats equal — completes the DP-equivalence proof for all THREE
+    train CLIs (contrast_train.py:108's DataParallel is the reference
+    counterpart)."""
+    import jax
+
+    from test_cli_infer_dp import _make_voc
+
+    assert len(jax.devices()) == 8  # conftest CPU mesh
+
+    root, lst, _ = _make_voc(tmp_path, [(80, 96)] * 8)
+    ckpt_dp, losses_dp = _run_contrast(tmp_path, "cdp", 8, root, lst)
+    _single_device_mesh(monkeypatch)
+    ckpt_sd, losses_sd = _run_contrast(tmp_path, "csd", 8, root, lst)
+
+    assert losses_dp and np.all(np.isfinite(losses_dp))
+    np.testing.assert_allclose(losses_dp, losses_sd, rtol=1e-4)
+    _tree_allclose(ckpt_dp["params"], ckpt_sd["params"], atol=1e-5, rtol=1e-4)
+    _tree_allclose(ckpt_dp["batch_stats"], ckpt_sd["batch_stats"],
+                   atol=1e-5, rtol=1e-4)
