@@ -134,3 +134,62 @@ def test_random_walk_bucketed_equals_reference_pad():
     for bucket in (32, 64):
         got = RandomWalkRefiner(model, variables, beta=2, logt=2, bucket=bucket).refine_one(img, cam)
         np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.slow
+def test_view_chunking_is_exact():
+    """Per-dispatch pixel caps (infer/cam.py MAX_VIEW_PX) split big-scale
+    batches into chunks — lax.map inside make_fused_msf_fn's per-scale
+    program, several device calls in infer_batch. Both must be numerically
+    identical to the unchunked dispatch."""
+    import jax.numpy as jnp
+
+    from wseg_tpu.data import transforms as T
+    from wseg_tpu.infer.cam import CamInferencer, _view_chunks, make_fused_msf_fn
+    from wseg_tpu.models import build_model
+    from PIL import Image
+
+    assert _view_chunks(32, 768, 1024, 2 * 24 * 768 * 1024) == 2
+    assert _view_chunks(16, 768, 1024, 2 * 24 * 768 * 1024) == 1
+    assert _view_chunks(24, 768, 1024, 2 * 24 * 768 * 1024) == 1
+    # non-dividing start count walks up to the next divisor
+    assert _view_chunks(9, 768, 1024, 2 * 4 * 768 * 1024) == 3
+
+    model = build_model("contrast")
+    variables = _realistic_variables(model)
+    rng = np.random.RandomState(1)
+
+    # fused fixed-size path: cap that forces 2 chunks at scale 2.0 only
+    h0, w0 = 48, 64
+    scales = (1.0, 2.0)
+    b = 4
+    views = tuple(
+        jnp.asarray(rng.rand(b, 2, round(h0 * s), round(w0 * s), 3), jnp.float32)
+        for s in scales
+    )
+    label = jnp.asarray((rng.rand(b, 20) > 0.5).astype(np.float32))
+    full = make_fused_msf_fn(model, (h0, w0), scales=scales)(variables, views, label)
+    cap = 2 * 2 * round(h0 * 2.0) * round(w0 * 2.0)  # 2 images of the big view
+    chunked = make_fused_msf_fn(model, (h0, w0), scales=scales, max_view_px=cap)(
+        variables, views, label
+    )
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-5)
+
+    # bucketed variable-size path: chunked infer_batch == per-image infer_one
+    norm = T.Normalize()
+    items = []
+    for i, (h, w) in enumerate([(50, 61), (43, 70), (62, 55), (57, 57)]):
+        img = Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8))
+        vs = [norm(v) for v in T.msf_views(img, scales, 1)]
+        lbl = np.zeros(20, np.float32)
+        lbl[[i, i + 4]] = 1.0
+        items.append((vs, lbl, (h, w)))
+    inf = CamInferencer(model, variables, scales=scales, bucket=32)
+    want = [inf.infer_one(vs, lbl, hw) for vs, lbl, hw in items]
+    inf_chunked = CamInferencer(
+        model, variables, scales=scales, bucket=32,
+        max_view_px=2 * 2 * 160 * 160,  # forces 2 chunks on the scale-2 bucket
+    )
+    got = inf_chunked.infer_batch(items)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(g, w_, atol=1e-4)

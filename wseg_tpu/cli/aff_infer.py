@@ -26,7 +26,7 @@ def main(argv=None):
     parser.add_argument("--bg_score", default=0.27, type=float)
     parser.add_argument("--bucket", default=64, type=int)
     parser.add_argument("--batch_size", default=0, type=int,
-                        help="images per refine_batch call; 0 = 16 per "
+                        help="images per refine_batch call; 0 = 32 per "
                         "device (the walk's dependent small-matmul chain is "
                         "latency-bound: measured 27 -> 90 -> 99 imgs/s going "
                         "from batch 1 to 16 to 32 on one chip, ROOFLINE.md "
@@ -66,7 +66,7 @@ def main(argv=None):
         }
 
     n_devices = len(jax.devices())
-    batch_size = args.batch_size or 16 * n_devices
+    batch_size = args.batch_size or 32 * n_devices
     mesh = None
     if n_devices > 1:
         from wseg_tpu.parallel.mesh import make_mesh

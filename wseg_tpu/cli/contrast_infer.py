@@ -32,7 +32,9 @@ def main(argv=None):
                         help="images per data-parallel batch sharded over all "
                         "chips (0 = one per chip; single-image path on one "
                         "chip). Replaces the reference's thread pool over GPU "
-                        "replicas (contrast_infer.py:46-71)")
+                        "replicas (contrast_infer.py:46-71). Batches up to 32 "
+                        "per chip are safe: big-scale dispatches are chunked "
+                        "to a measured pixel cap (infer/cam.py MAX_VIEW_PX)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp

@@ -23,9 +23,10 @@ def main(argv=None):
     parser.add_argument("--no_crf", action="store_true")
     parser.add_argument("--bucket", type=int, default=64)
     parser.add_argument("--batch_size", type=int, default=0,
-                        help="images per TTA batch; 0 = 4 per device "
-                        "(measured 9.1-9.8 imgs/s at batch 4-8 on one chip, "
-                        "ROOFLINE.md 5d). With >1 local chip, batches shard "
+                        help="images per TTA batch; 0 = 8 per device "
+                        "(measured 9.1/9.8/10.1 imgs/s at batch 4/8/16 on "
+                        "one chip, ROOFLINE.md 5d). With >1 local chip, "
+                        "batches shard "
                         "over a data-parallel mesh automatically (the "
                         "reference's single_gpu_test is one image on one GPU)")
     args = parser.parse_args(argv)
@@ -76,7 +77,7 @@ def main(argv=None):
         return np.einsum("oh,hwc->owc", wh, np.einsum("pw,hwc->hpc", ww, logits))
 
     n_devices = len(jax.devices())
-    batch_size = max(args.batch_size or 4 * n_devices, 1)
+    batch_size = max(args.batch_size or 8 * n_devices, 1)
     data_sharding = None
     if n_devices > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -79,11 +79,15 @@ class CamInferencer:
     with a persistent compile cache)."""
 
     def __init__(self, model, variables, scales=DEFAULT_SCALES, bucket: int = 64,
-                 device_msf: bool = False, mesh=None):
+                 device_msf: bool = False, mesh=None,
+                 max_view_px: int | None = None):
         self.model = model
         self.scales = scales
         self.bucket = bucket  # pad H,W up to a multiple; None = exact shapes
         self.device_msf = device_msf
+        # per-dispatch pixel cap for infer_batch (see MAX_VIEW_PX): large
+        # batches of the big scales run as several device calls
+        self.max_view_px = MAX_VIEW_PX if max_view_px is None else max_view_px
         # mesh: shard infer_batch over the `data` axis (replica-parallel
         # inference, the TPU-native replacement for the reference's
         # thread-pool-over-GPU-replicas at contrast_infer.py:46-71)
@@ -218,11 +222,24 @@ class CamInferencer:
             for i, p in enumerate(pairs):
                 batch[2 * i : 2 * i + 2, : hs[i], : ws[i]] = p
                 valid[2 * i : 2 * i + 2] = (hs[i], ws[i])
-            xb, vb = jnp.asarray(batch), jnp.asarray(valid)
-            if self.mesh is not None:
-                xb = jax.device_put(xb, self._data_sharding)
-                vb = jax.device_put(vb, self._data_sharding)
-            cam = np.asarray(self._forward(ph, pw, True)(self.variables, xb, vb))
+            # big-scale batches exceed the per-dispatch pixel cap (see
+            # MAX_VIEW_PX) — run them as several equal device calls; each
+            # chunk stays a multiple of the mesh size so sharding is unchanged
+            n_chunks = _view_chunks(b_pad, ph, pw, self.max_view_px)
+            while (b_pad // n_chunks) % n_dev and n_chunks > 1:
+                n_chunks -= 1
+                while n_chunks > 1 and b_pad % n_chunks:
+                    n_chunks -= 1
+            m = b_pad // n_chunks
+            outs_dev = []
+            for ci in range(n_chunks):
+                xc = jnp.asarray(batch[2 * ci * m : 2 * (ci + 1) * m])
+                vc = jnp.asarray(valid[2 * ci * m : 2 * (ci + 1) * m])
+                if self.mesh is not None:
+                    xc = jax.device_put(xc, self._data_sharding)
+                    vc = jax.device_put(vc, self._data_sharding)
+                outs_dev.append(self._forward(ph, pw, True)(self.variables, xc, vc))
+            cam = np.concatenate([np.asarray(o) for o in outs_dev], axis=0)
             for i in range(b):
                 h, w, (h0, w0) = hs[i], ws[i], items[i][2]
                 cv = cam[2 * i : 2 * i + 2, : _ceil8(h), : _ceil8(w)]
@@ -239,7 +256,25 @@ class CamInferencer:
         return outs
 
 
-def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES):
+# Largest view-pixel volume (batch * 2 flips * h * w) one backbone dispatch
+# may carry: 2*24*768*1024 is measured-good on the 16 GB chip, 2*32*768*1024
+# OOMs on the scale-2 stem activations (scripts/batch_probe.py). Batches
+# beyond this run as equal chunks under lax.map inside the same program —
+# identical math, bounded working set.
+MAX_VIEW_PX = 2 * 24 * 768 * 1024
+
+
+def _view_chunks(b: int, h: int, w: int, max_px: int) -> int:
+    """Number of equal batch chunks a (b, 2, h, w) view dispatch needs to
+    stay under `max_px` pixels; always divides a padded batch evenly."""
+    n = max(1, -(-(b * 2 * h * w) // max_px))
+    while b % n:
+        n += 1
+    return n
+
+
+def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES,
+                      max_view_px: int = MAX_VIEW_PX):
     """Device-side MSF fusion as a pipeline of jitted programs: one per scale
     (forward + upsample align_corners=False + flip-back + flip-pair sum) and
     one fusion program (scale sum + label mask + min/max normalize).
@@ -247,6 +282,13 @@ def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES):
     Splitting per scale keeps each XLA program small enough to compile fast
     and lets the per-scale dispatches overlap; JAX queues them back-to-back
     on the chip so there is no host sync until the final result.
+
+    Wide batches improve small-view MXU utilization (scripts/batch_probe.py:
+    scale 0.5 gains 13% per image from b16 to b64, scale 1.5 gains 4% at
+    b32), while the scale-2 view OOMs past ~24 images — so a scale whose
+    batch exceeds `max_view_px` pixels runs as equal chunks under `lax.map`
+    within one program: full-batch dispatch efficiency for the small scales,
+    chunked working set for the big ones.
 
     Returns fn(variables, views, label) with views = tuple over scales of
     (B, 2, h_s, w_s, 3), label (B, 20) -> (B, 20, H, W).
@@ -256,20 +298,29 @@ def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES):
     @jax.jit
     def per_scale(variables, v):
         b, two, h, w, _ = v.shape
-        _, cam_rv_down = model.apply(
-            variables, v.reshape(b * 2, h, w, 3), raw_cam=True
-        )
-        # mixed precision: the backbone may run bf16, but the CAM resize/
-        # fusion chain is numerically sensitive (max-norm of near-ties) and
-        # cheap — always fuse in f32
-        cam = cam_rv_down[..., 1:].astype(jnp.float32)
-        # reference resize chain: stride-8 -> view (a=True) -> original
-        # (a=False), composed into ONE matmul pair — skips the view-size
-        # intermediate (4x the output at scale 2) entirely
-        cam = resize_bilinear_chain(cam, (h, w), (h0, w0))
-        cam = cam.reshape(b, 2, h0, w0, 20)
-        cam = cam.at[:, 1].set(cam[:, 1, :, ::-1])
-        return cam.sum(axis=1)
+
+        def fwd(pair):
+            c, _, _, _, _ = pair.shape
+            _, cam_rv_down = model.apply(
+                variables, pair.reshape(c * 2, h, w, 3), raw_cam=True
+            )
+            # mixed precision: the backbone may run bf16, but the CAM resize/
+            # fusion chain is numerically sensitive (max-norm of near-ties)
+            # and cheap — always fuse in f32
+            cam = cam_rv_down[..., 1:].astype(jnp.float32)
+            # reference resize chain: stride-8 -> view (a=True) -> original
+            # (a=False), composed into ONE matmul pair — skips the view-size
+            # intermediate (4x the output at scale 2) entirely
+            cam = resize_bilinear_chain(cam, (h, w), (h0, w0))
+            cam = cam.reshape(c, 2, h0, w0, 20)
+            cam = cam.at[:, 1].set(cam[:, 1, :, ::-1])
+            return cam.sum(axis=1)
+
+        n_chunks = _view_chunks(b, h, w, max_view_px)
+        if n_chunks == 1:
+            return fwd(v)
+        chunked = jax.lax.map(fwd, v.reshape(n_chunks, b // n_chunks, *v.shape[1:]))
+        return chunked.reshape(b, h0, w0, 20)
 
     @jax.jit
     def fuse(partials, label):
