@@ -193,3 +193,48 @@ def test_view_chunking_is_exact():
     got = inf_chunked.infer_batch(items)
     for g, w_ in zip(got, want):
         np.testing.assert_allclose(g, w_, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_view_chunking_exact_on_mesh():
+    """infer_batch's per-dispatch pixel cap with a multi-device mesh: chunk
+    sizes stay mesh-multiples (the divisibility walk at infer/cam.py
+    infer_batch) and outputs equal per-image infer_one."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401 — platform already forced by conftest
+
+    from wseg_tpu.data import transforms as T
+    from wseg_tpu.infer.cam import CamInferencer
+    from wseg_tpu.models import build_model
+    from wseg_tpu.parallel.mesh import make_mesh
+    from PIL import Image
+
+    assert len(jax.devices()) == 8  # conftest CPU mesh
+    model = build_model("contrast")
+    variables = _realistic_variables(model)
+    rng = np.random.RandomState(7)
+    scales = (1.0, 2.0)
+    norm = T.Normalize()
+    items = []
+    for i in range(16):
+        h, w = 40 + (i % 3) * 7, 50 + (i % 2) * 9
+        img = Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8))
+        vs = [norm(v) for v in T.msf_views(img, scales, 1)]
+        lbl = np.zeros(20, np.float32)
+        lbl[[i % 20, (i + 5) % 20]] = 1.0
+        items.append((vs, lbl, (h, w)))
+
+    inf_one = CamInferencer(model, variables, scales=scales, bucket=32)
+    want = [inf_one.infer_one(vs, lbl, hw) for vs, lbl, hw in items]
+
+    mesh = make_mesh()
+    # cap sized so the scale-2 bucket (<=128x128 padded view) needs 2 chunks
+    # of 8 images each — exactly one mesh row per chunk
+    inf = CamInferencer(
+        model, variables, scales=scales, bucket=32, mesh=mesh,
+        max_view_px=2 * 8 * 128 * 128,
+    )
+    got = inf.infer_batch(items)
+    assert len(got) == len(items)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(g, w_, atol=1e-4)
