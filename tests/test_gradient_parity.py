@@ -226,6 +226,96 @@ def test_parameter_gradients_match_literal_reference(setup):
         assert np.abs(want).max() > 0, tname
 
 
+AFF_GRAD_TARGETS = [
+    ("f8_3.weight", ("f8_3", "kernel")),
+    ("f8_4.weight", ("f8_4", "kernel")),
+    ("f8_5.weight", ("f8_5", "kernel")),
+    ("f9.weight", ("f9", "kernel")),
+    ("b7.conv_branch2a.weight", ("backbone", "b7", "conv_branch2a", "kernel")),
+    ("b3.conv_branch2a.weight", ("backbone", "b3", "conv_branch2a", "kernel")),
+]
+
+
+@pytest.mark.slow
+def test_affinity_gradients_match_literal_reference():
+    """Stage-2 backward parity: the count-normalized bg/fg/neg affinity loss
+    (transcribed from `aff_train.py:111-119` — it lives in the reference's
+    `__main__`) differentiated through the LITERAL `network/resnet38_aff.py`
+    forward vs `jax.grad` through our AffinityNet + `affinity_losses`. This
+    covers the ELU taps, the pair-gather graph (`ops/pairs.py` static takes
+    vs torch index_select), the exp(-mean|ft-ff|) chain incl. the |.|
+    subgradient, and the small-map radius fallback (8x8 map -> radius 3)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from wseg_tpu.train.affinity import affinity_losses
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU shim
+    ref_aff = importlib.import_module("network.resnet38_aff")
+
+    torch.manual_seed(29)
+    oracle = ref_aff.Net()
+    oracle.eval()
+    _randomize_bn(oracle)
+    _apply_reference_freezing(oracle)
+
+    model, variables = _load_into_jax("affinity", oracle.state_dict())
+    params, stats = variables["params"], variables["batch_stats"]
+
+    rng = np.random.RandomState(31)
+    x = rng.randn(2, 64, 64, 3).astype(np.float32) * 0.5
+    img_t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+    aff_t = oracle(img_t)
+    # disjoint random bg/fg/neg masks of the affinity's (N, D, P) shape —
+    # the three labels from AffGtDataset are mutually exclusive
+    cls = rng.randint(0, 4, size=tuple(aff_t.shape))
+    bg = torch.from_numpy((cls == 0).astype(np.float32))
+    fg = torch.from_numpy((cls == 1).astype(np.float32))
+    neg = torch.from_numpy((cls == 2).astype(np.float32))
+
+    # transcribed loss assembly (aff_train.py:111-119)
+    bg_count = torch.sum(bg) + 1e-5
+    fg_count = torch.sum(fg) + 1e-5
+    neg_count = torch.sum(neg) + 1e-5
+    bg_loss = torch.sum(-bg * torch.log(aff_t + 1e-5)) / bg_count
+    fg_loss = torch.sum(-fg * torch.log(aff_t + 1e-5)) / fg_count
+    neg_loss = torch.sum(-neg * torch.log(1.0 + 1e-5 - aff_t)) / neg_count
+    loss_t = bg_loss / 4 + fg_loss / 4 + neg_loss / 2
+    loss_t.backward()
+
+    bg_j, fg_j, neg_j = (jnp.asarray(m.numpy()) for m in (bg, fg, neg))
+
+    def loss_fn(p):
+        aff = model.apply({"params": p, "batch_stats": stats}, jnp.asarray(x))
+        mets = affinity_losses(aff, bg_j, fg_j, neg_j)
+        return mets["loss"], mets
+
+    (loss_j, mets), grads_j = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    # shapes + values of the forward agree first
+    np.testing.assert_allclose(float(loss_j), loss_t.item(), rtol=2e-3)
+    for key, want in [("bg_loss", bg_loss), ("fg_loss", fg_loss),
+                      ("neg_loss", neg_loss)]:
+        np.testing.assert_allclose(
+            float(mets[key]), want.item(), rtol=2e-3, err_msg=key
+        )
+
+    named = dict(oracle.named_parameters())
+    for tname, jpath in AFF_GRAD_TARGETS:
+        g_t = named[tname].grad
+        assert g_t is not None, tname
+        want = _oihw_to_hwio(g_t)
+        got = np.asarray(_tree_get(grads_j, jpath))
+        err = _rel_err(got, want)
+        assert err < 1e-2, (tname, err, np.abs(want).max())
+        assert np.abs(want).max() > 0, tname
+
+
 @pytest.mark.slow
 def test_optimizer_step_matches_literal_reference(setup):
     """One PolyOptimizer step (literal tool/torchutils.py, positional-
