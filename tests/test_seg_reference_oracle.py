@@ -253,3 +253,83 @@ def test_deeplabv2_resnet50_matches_reference(ref_seg):
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-8)
     assert rel < 5e-3, rel
     np.testing.assert_array_equal(got.argmax(1), want.argmax(1))
+
+
+@pytest.mark.slow
+def test_deeplabv1_gradients_match_reference(ref_seg):
+    """Stage-3 backward parity: CrossEntropyLoss(ignore_index=255) — the
+    reference's whole training criterion (experiment/*/train.py:85,97) —
+    differentiated through the literal `net.deeplabv1` vs `jax.grad` through
+    our DeepLabV1 + `cross_entropy_ignore`. BN eval on both sides (the
+    reference freezes BN affine during retraining anyway, train.py:71-80);
+    covers the head chain (conv_fov -> conv_fov2 -> cls_conv + upsample) and
+    the backbone backward, including the ignore-pixel masking and the
+    mean-over-valid normalization."""
+    import jax
+    import jax.numpy as jnp
+
+    from wseg_tpu.seg.config import EXPERIMENTS
+    from wseg_tpu.seg.deeplab import generate_net
+    from wseg_tpu.train.seg import cross_entropy_ignore
+    from wseg_tpu.utils.checkpoint import merge_params
+
+    torch.manual_seed(5)
+    cfg_t = SimpleNamespace(
+        MODEL_BACKBONE="resnet38", MODEL_BACKBONE_PRETRAIN=False,
+        TRAIN_BN_MOM=3e-4, MODEL_NUM_CLASSES=21,
+    )
+    tmodel = ref_seg.deeplabv1(cfg_t)
+    _randomize_bn(tmodel)
+    tmodel.eval()
+
+    rng = np.random.RandomState(9)
+    x = rng.rand(2, 3, 64, 96).astype(np.float32)
+    label = rng.randint(0, 21, size=(2, 64, 96)).astype(np.int64)
+    label[rng.rand(2, 64, 96) < 0.3] = 255  # exercise the ignore mask
+
+    pred_t = tmodel(torch.from_numpy(x))
+    loss_t = torch.nn.CrossEntropyLoss(ignore_index=255)(
+        pred_t, torch.from_numpy(label)
+    )
+    loss_t.backward()
+
+    model = generate_net(EXPERIMENTS["SEAM_deeplabv1_resnet38"])
+    k = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": k, "dropout": k}, jnp.zeros((1, 64, 96, 3), jnp.float32)
+    )
+    params_c, stats_c = _convert_seg_state_dict(tmodel.state_dict())
+    params = merge_params(variables["params"], params_c)
+    stats = merge_params(variables["batch_stats"], stats_c)
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    lj = jnp.asarray(label.astype(np.int32))
+
+    def loss_fn(p):
+        out = model.apply({"params": p, "batch_stats": stats}, xj)
+        return cross_entropy_ignore(out, lj)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), loss_t.item(), rtol=2e-3)
+
+    named = dict(tmodel.named_parameters())
+    targets = [
+        ("cls_conv.weight", ("cls_conv", "kernel")),
+        ("conv_fov.weight", ("conv_fov", "kernel")),
+        ("conv_fov2.weight", ("conv_fov2", "kernel")),
+        ("backbone.b7.conv_branch2a.weight",
+         ("backbone", "resnet38", "b7", "conv_branch2a", "kernel")),
+        ("backbone.b3.conv_branch2a.weight",
+         ("backbone", "resnet38", "b3", "conv_branch2a", "kernel")),
+    ]
+    for tname, jpath in targets:
+        g_t = named[tname].grad
+        assert g_t is not None, tname
+        want = g_t.detach().numpy().transpose(2, 3, 1, 0)
+        got = grads
+        for kk in jpath:
+            got = got[kk]
+        got = np.asarray(got)
+        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-12)
+        assert err < 1e-2, (tname, err, np.abs(want).max())
+        assert np.abs(want).max() > 0, tname
