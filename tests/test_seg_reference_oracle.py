@@ -58,7 +58,7 @@ def _convert_seg_state_dict(sd: dict):
         toks = key.split(".")
         if toks[-1] == "num_batches_tracked":
             continue
-        arr = val.numpy()
+        arr = val.detach().numpy().copy()
         if toks[0] == "backbone":
             mapped = _torch_key_to_flax(".".join(toks[1:]))
             if mapped is None:
@@ -162,7 +162,7 @@ def _convert_dilated_resnet_sd(sd: dict):
         toks = key.split(".")
         if toks[-1] == "num_batches_tracked":
             continue
-        arr = val.numpy()
+        arr = val.detach().numpy().copy()
         leaf = toks[-1]
         if toks[0] == "backbone":
             mods = toks[1:-1]
@@ -333,3 +333,118 @@ def test_deeplabv1_gradients_match_reference(ref_seg):
         err = np.abs(got - want).max() / (np.abs(want).max() + 1e-12)
         assert err < 1e-2, (tname, err, np.abs(want).max())
         assert np.abs(want).max() > 0, tname
+
+
+@pytest.mark.slow
+def test_seg_optimizer_steps_match_reference(ref_seg):
+    """Stage-3 optimizer parity: 3 steps of the reference's torch.optim.SGD
+    (momentum 0.9, 4 parameter groups from deeplabv1.get_parameter_groups,
+    poly adjust_lr with (1 - itr/(max_itr+1))^power, train.py:71-80,138-144)
+    vs 3 `poly_sgd` steps with `seg_param_labels` grouping on the SAME
+    per-step gradients. Multi-step catches the momentum-buffer x poly-lr
+    interaction a single-step check misses; BN affine must not move (the
+    reference never collects it into a group)."""
+    import jax
+    import jax.numpy as jnp
+    import torch.optim as optim
+
+    from wseg_tpu.seg.config import EXPERIMENTS
+    from wseg_tpu.seg.deeplab import generate_net, seg_param_labels
+    from wseg_tpu.train.optim import poly_sgd
+    from wseg_tpu.utils.checkpoint import merge_params
+
+    torch.manual_seed(17)
+    cfg_t = SimpleNamespace(
+        MODEL_BACKBONE="resnet38", MODEL_BACKBONE_PRETRAIN=False,
+        TRAIN_BN_MOM=3e-4, MODEL_NUM_CLASSES=21,
+    )
+    tmodel = ref_seg.deeplabv1(cfg_t)
+    _randomize_bn(tmodel)
+    tmodel.eval()
+
+    lr0, wd, power, max_itr = 0.001, 5e-4, 0.9, 10
+
+    pgs = tmodel.get_parameter_groups()
+    opt = optim.SGD(
+        params=[
+            {"params": pgs[0], "lr": lr0, "weight_decay": wd},
+            {"params": pgs[1], "lr": 2 * lr0, "weight_decay": 0},
+            {"params": pgs[2], "lr": 10 * lr0, "weight_decay": wd},
+            {"params": pgs[3], "lr": 20 * lr0, "weight_decay": 0},
+        ],
+        momentum=0.9, weight_decay=wd,
+    )
+
+    def adjust_lr(optimizer, itr):  # transcribed train.py:138-144
+        now_lr = lr0 * (1 - itr / (max_itr + 1)) ** power
+        for gi, mult in enumerate((1, 2, 10, 20)):
+            optimizer.param_groups[gi]["lr"] = mult * now_lr
+
+    # one real backward for a gradient shaped like training's
+    rng = np.random.RandomState(23)
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    label = rng.randint(0, 21, size=(1, 64, 96)).astype(np.int64)
+    pred_t = tmodel(torch.from_numpy(x))
+    torch.nn.CrossEntropyLoss(ignore_index=255)(
+        pred_t, torch.from_numpy(label)
+    ).backward()
+    g0_t = {n: p.grad.detach().clone() for n, p in tmodel.named_parameters()
+            if p.grad is not None}
+
+    # --- our side: same converted state and the SAME gradients (the torch
+    # backward's, name-mapped like the weights) so the comparison isolates
+    # optimizer semantics from framework forward/backward numerics (those are
+    # covered by test_deeplabv1_gradients_match_reference) ---
+    model = generate_net(EXPERIMENTS["SEAM_deeplabv1_resnet38"])
+    k = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": k, "dropout": k}, jnp.zeros((1, 64, 96, 3), jnp.float32)
+    )
+    params_c, stats_c = _convert_seg_state_dict(tmodel.state_dict())
+    params = merge_params(variables["params"], params_c)
+
+    g_c, _ = _convert_seg_state_dict(g0_t)
+    g0_j = merge_params(jax.tree.map(jnp.zeros_like, params), g_c)
+
+    tx = poly_sgd(lr0, wd, max_step=max_itr + 1, power=power, momentum=0.9,
+                  labels=seg_param_labels(params))
+    opt_state = tx.init(params)
+
+    factors = (1.0, 0.5, 1.7)
+    for itr, c in enumerate(factors):
+        with torch.no_grad():
+            for n, p in tmodel.named_parameters():
+                if n in g0_t:
+                    p.grad = g0_t[n] * c
+        adjust_lr(opt, itr)
+        opt.step()
+
+        gj = jax.tree.map(lambda g: g * c, g0_j)
+        updates, opt_state = tx.update(gj, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    named = dict(tmodel.named_parameters())
+    targets = [
+        ("cls_conv.weight", ("cls_conv", "kernel")),
+        ("cls_conv.bias", ("cls_conv", "bias")),
+        ("conv_fov.weight", ("conv_fov", "kernel")),
+        ("backbone.b7.conv_branch2a.weight",
+         ("backbone", "resnet38", "b7", "conv_branch2a", "kernel")),
+        ("backbone.b3.conv_branch2a.weight",
+         ("backbone", "resnet38", "b3", "conv_branch2a", "kernel")),
+    ]
+    for tname, jpath in targets:
+        want = named[tname].detach().numpy()
+        if want.ndim == 4:
+            want = want.transpose(2, 3, 1, 0)
+        got = params
+        for kk in jpath:
+            got = got[kk]
+        got = np.asarray(got)
+        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-12)
+        assert err < 1e-3, (tname, err)
+
+    # BN affine never moves (reference never collects it into a group)
+    bn_w = np.asarray(params["bn_fov"]["scale"])
+    bn_w0 = named["bn_fov.weight"].detach().numpy()
+    np.testing.assert_allclose(bn_w, bn_w0, rtol=1e-6)
