@@ -64,7 +64,16 @@ def main():
     checksum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
     rng = np.random.RandomState(0)
 
-    configs = [(0.5, (16, 32, 64)), (1.0, (16, 32)), (1.5, (16,))]
+    # defaults reproduce the ROOFLINE.md 5b-2 decision table end to end,
+    # including the scale-2 rows whose OOM point set MAX_VIEW_PX (b32 is
+    # EXPECTED to print an OOM row on the 16 GB chip) and the 1.5:32 win
+    # behind the batch-32 bench default
+    configs = [
+        (0.5, (16, 32, 64)),
+        (1.0, (16, 32)),
+        (1.5, (16, 32)),
+        (2.0, (16, 20, 24, 32)),
+    ]
     if args.configs:
         configs = []
         for tok in args.configs.split(","):

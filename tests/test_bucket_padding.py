@@ -149,11 +149,21 @@ def test_view_chunking_is_exact():
     from wseg_tpu.models import build_model
     from PIL import Image
 
-    assert _view_chunks(32, 768, 1024, 2 * 24 * 768 * 1024) == 2
-    assert _view_chunks(16, 768, 1024, 2 * 24 * 768 * 1024) == 1
-    assert _view_chunks(24, 768, 1024, 2 * 24 * 768 * 1024) == 1
+    cap = 2 * 24 * 768 * 1024
+    assert _view_chunks(32, 768, 1024, cap) == 2
+    assert _view_chunks(16, 768, 1024, cap) == 1
+    assert _view_chunks(24, 768, 1024, cap) == 1
     # non-dividing start count walks up to the next divisor
     assert _view_chunks(9, 768, 1024, 2 * 4 * 768 * 1024) == 3
+    # a single flip pair over the cap terminates (whole-batch fallback)
+    assert _view_chunks(1, 4400, 4400, cap) == 1
+    # mesh multiples: walk UP to the first divisor whose chunk is a mesh
+    # multiple, never widen a chunk past the cap
+    assert _view_chunks(56, 768, 1024, cap, 8) == 7   # chunks of 8
+    assert _view_chunks(184, 768, 1024, cap, 8) == 23  # chunks of 8
+    assert _view_chunks(32, 768, 1024, cap, 8) == 2   # chunks of 16
+    # over-cap even at one-image-per-device: smallest mesh-legal chunking
+    assert _view_chunks(8, 4400, 4400, cap, 8) == 1
 
     model = build_model("contrast")
     variables = _realistic_variables(model)

@@ -225,11 +225,7 @@ class CamInferencer:
             # big-scale batches exceed the per-dispatch pixel cap (see
             # MAX_VIEW_PX) — run them as several equal device calls; each
             # chunk stays a multiple of the mesh size so sharding is unchanged
-            n_chunks = _view_chunks(b_pad, ph, pw, self.max_view_px)
-            while (b_pad // n_chunks) % n_dev and n_chunks > 1:
-                n_chunks -= 1
-                while n_chunks > 1 and b_pad % n_chunks:
-                    n_chunks -= 1
+            n_chunks = _view_chunks(b_pad, ph, pw, self.max_view_px, n_dev)
             m = b_pad // n_chunks
             outs_dev = []
             for ci in range(n_chunks):
@@ -264,13 +260,19 @@ class CamInferencer:
 MAX_VIEW_PX = 2 * 24 * 768 * 1024
 
 
-def _view_chunks(b: int, h: int, w: int, max_px: int) -> int:
+def _view_chunks(b: int, h: int, w: int, max_px: int, chunk_mult: int = 1) -> int:
     """Number of equal batch chunks a (b, 2, h, w) view dispatch needs to
-    stay under `max_px` pixels; always divides a padded batch evenly."""
+    stay under `max_px` pixels; always divides `b` evenly and keeps each
+    chunk a multiple of `chunk_mult` (the mesh size for sharded dispatches).
+    Best effort: if even a chunk of `chunk_mult` images (or one image) blows
+    the cap, that smallest legal chunking is returned rather than looping."""
     n = max(1, -(-(b * 2 * h * w) // max_px))
-    while b % n:
+    while n < b:
+        if b % n == 0 and (b // n) % chunk_mult == 0:
+            return n
         n += 1
-    return n
+    # single-image chunks (or the smallest mesh-multiple chunking)
+    return b // chunk_mult if chunk_mult > 1 and b % chunk_mult == 0 else b
 
 
 def make_fused_msf_fn(model, orig_hw: tuple[int, int], scales=DEFAULT_SCALES,
