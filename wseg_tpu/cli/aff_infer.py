@@ -28,9 +28,11 @@ def main(argv=None):
     parser.add_argument("--batch_size", default=0, type=int,
                         help="images per refine_batch call; 0 = 32 per "
                         "device (the walk's dependent small-matmul chain is "
-                        "latency-bound: measured 27 -> 90 -> 99 imgs/s going "
-                        "from batch 1 to 16 to 32 on one chip, ROOFLINE.md "
-                        "5d). With "
+                        "latency-bound: measured 27 -> 90 -> 99 -> 107 "
+                        "imgs/s at batch 1/16/32/64 on one chip, ROOFLINE.md "
+                        "5d; 64 is worth +9%% on uniform ~384x512 images "
+                        "but OOMs on 512x512 buckets, so 32 is the "
+                        "mixed-size-safe default). With "
                         ">1 local chip, batches also shard over a "
                         "data-parallel mesh (the reference refines one "
                         "image on one GPU at a time)")
