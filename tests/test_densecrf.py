@@ -89,3 +89,25 @@ def test_crf_softmax_unary():
     q = crf_inference_softmax(img, probs, t=5, labels=2)
     assert q.shape == (2, h, w)
     np.testing.assert_allclose(q.sum(axis=0), 1.0, atol=1e-4)
+
+
+def test_dense_crf_uses_reference_seg_parameterization(monkeypatch):
+    """cli/seg_test's CRF must use the SEG variant of the parameters:
+    bilateral sxy=32 (NOT imutils' 80), srgb 13, compat 10, Gaussian 3/3,
+    ONE iteration by default — segmentation/lib/utils/DenseCRF.py:20-23."""
+    import wseg_tpu.ops.densecrf as dc
+
+    captured = {}
+
+    def fake_inference(unary, rgb, t, gs, gc, bs, bsr, bc, h, w, n_labels):
+        captured.update(t=t, gs=gs, gc=gc, bs=bs, bsr=bsr, bc=bc,
+                        n_labels=n_labels)
+        return np.full_like(unary, 1.0 / n_labels)
+
+    monkeypatch.setattr(dc, "_inference", fake_inference)
+    probs = np.full((21, 8, 8), 1 / 21, np.float32)
+    img = np.zeros((8, 8, 3), np.uint8)
+    out = dc.dense_crf(probs, img)
+    assert out.shape == (21, 8, 8)
+    assert captured == dict(t=1, gs=3, gc=3, bs=32, bsr=13, bc=10,
+                            n_labels=21)

@@ -4,7 +4,7 @@ mIoU eval — rebuild of `segmentation/experiment/*/test.py:40-113`.
 The reference's SEAM/EPS-deeplabv1 test scripts import a nonexistent
 `dense_crf_from_deeplabv2` and crash (test.py:28,100 — SURVEY.md §9); here
 the deeplabv2-style softmax-unary CRF is actually provided
-(ops/densecrf.crf_inference_softmax).
+(ops/densecrf.dense_crf — bilateral sxy=32, 1 iteration, DenseCRF.py:5-39).
 """
 
 from __future__ import annotations
@@ -38,7 +38,7 @@ def main(argv=None):
     enable_compilation_cache()
     import numpy as np
 
-    from wseg_tpu.ops.densecrf import crf_inference_softmax
+    from wseg_tpu.ops.densecrf import dense_crf
     from wseg_tpu.ops.resize import _resize_weights_np
     from wseg_tpu.seg.config import EXPERIMENTS
     from wseg_tpu.seg.dataset import generate_dataset
@@ -161,9 +161,12 @@ def main(argv=None):
 
             if cfg.TEST_CRF:
                 img_uint8 = dataset.load_image(sample["name"])
-                prob = crf_inference_softmax(
-                    img_uint8, np.transpose(prob, (2, 0, 1)), t=1,
-                    labels=cfg.MODEL_NUM_CLASSES,
+                # dense_crf pins the reference's seg parameterization
+                # (bilateral sxy=32, n_iters=1 — DenseCRF.py:20-23), which
+                # differs from imutils' sxy=80 variant
+                prob = dense_crf(
+                    np.transpose(prob, (2, 0, 1)), img_uint8,
+                    n_classes=cfg.MODEL_NUM_CLASSES,
                 )
                 pred = np.argmax(prob, axis=0).astype(np.uint8)
             else:

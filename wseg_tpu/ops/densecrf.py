@@ -136,6 +136,20 @@ def crf_inference_labels(
     return np.ascontiguousarray(q.T.reshape(n_labels, h, w))
 
 
+def dense_crf(
+    probs: np.ndarray, img: np.ndarray, n_classes: int = 21, n_iters: int = 1,
+    scale_factor: float = 1,
+) -> np.ndarray:
+    """Stage-3 test-time CRF (segmentation/lib/utils/DenseCRF.py:5-39):
+    softmax unary, Gaussian sxy3/compat3, bilateral **sxy32**/srgb13/compat10
+    (the reference's seg variant uses 32, not imutils' 80), ONE mean-field
+    iteration by default. probs: (C, H, W); img: (H, W, 3) uint8."""
+    return crf_inference_softmax(
+        img, probs, t=n_iters, scale_factor=scale_factor, labels=n_classes,
+        sxy_bilateral=32,
+    )
+
+
 def crf_inference_softmax(
     img: np.ndarray, probs: np.ndarray, t: int = 10, scale_factor: float = 1,
     labels: int = 21, sxy_gaussian: float = 3, compat_gaussian: float = 3,
