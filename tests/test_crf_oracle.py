@@ -174,7 +174,7 @@ def test_grid_crf_unsaturated_regime():
     h, w = img.shape[:2]
     unary = _diffuse_unary(h, w)
     want = dense_meanfield_oracle(img, unary, 3, **GENTLE)
-    run = make_crf((h, w), n_labels=3, t=3, **GENTLE)
+    run = make_crf((h, w), n_labels=3, t=3, method="grid", **GENTLE)
     got = np.asarray(run(unary.astype(np.float32), img.astype(np.float32)))
     err = np.abs(got - want)
     assert err.mean() < 3e-4, err.mean()
@@ -190,8 +190,75 @@ def test_grid_crf_matches_dense_oracle():
     unary = unary_from_labels(noisy, 3, gt_prob=0.7).reshape(h, w, 3)
     t = 10
     want = dense_meanfield_oracle(img, unary, t, **PARAMS)
-    run = make_crf((h, w), n_labels=3, t=t, **PARAMS)
+    run = make_crf((h, w), n_labels=3, t=t, method="grid", **PARAMS)
     got = np.asarray(run(unary.astype(np.float32), img.astype(np.float32)))
     assert (got.argmax(-1) == want.argmax(-1)).all()
     err = np.abs(got - want)
     assert err.mean() < 0.02, err.mean()
+
+
+def test_lowrank_crf_matches_dense_oracle():
+    """The default (lowrank) TPU path against the oracle on the palette
+    scene: the Nystrom landmarks cover the palette exactly, so the full
+    10-iter loop is near-exact (measured mean 1.3e-8, max 1.5e-7)."""
+    img, noisy = _scene()
+    h, w = noisy.shape
+    unary = unary_from_labels(noisy, 3, gt_prob=0.7).reshape(h, w, 3)
+    want = dense_meanfield_oracle(img, unary, 10, **PARAMS)
+    run = make_crf((h, w), n_labels=3, t=10, method="lowrank", **PARAMS)
+    got = np.asarray(run(unary.astype(np.float32), img.astype(np.float32)))
+    assert (got.argmax(-1) == want.argmax(-1)).all()
+    err = np.abs(got - want)
+    assert err.mean() < 1e-6, err.mean()
+    assert err.max() < 1e-5, err.max()
+
+
+def test_lowrank_crf_unsaturated_regime():
+    """The discriminating (normalization-bug-rejecting) bound for the
+    lowrank path — on the palette scene its only error sources are the SVD
+    truncation and the ridge, measured mean 1.4e-7, far under the 3e-4
+    bound that rejects row-normalized / diagonal-excluded variants."""
+    img, _ = _scene()
+    h, w = img.shape[:2]
+    unary = _diffuse_unary(h, w)
+    want = dense_meanfield_oracle(img, unary, 3, **GENTLE)
+    run = make_crf((h, w), n_labels=3, t=3, method="lowrank", **GENTLE)
+    got = np.asarray(run(unary.astype(np.float32), img.astype(np.float32)))
+    err = np.abs(got - want)
+    assert err.mean() < 3e-4, err.mean()
+    assert err.max() < 2e-3, err.max()
+
+
+def test_lowrank_crf_full_palette_beats_grid():
+    """On a full-palette natural-ish image (smoothed random blobs — the case
+    where 224 landmarks can NOT cover every color exactly) the lowrank path
+    must still track the dense oracle better than the bilateral grid does at
+    the production aff_prepare parameterization (srgb 13 < the grid's
+    255/16 bin floor). Measured: lowrank 98.0% argmax agreement / 1.3e-2
+    mean err vs grid 95.4% / 3.1e-2."""
+    from scipy import ndimage
+
+    h, w = 64, 80
+    rng = np.random.RandomState(1)
+    img = ndimage.gaussian_filter(rng.rand(h, w, 3) * 255, sigma=(6, 6, 0))
+    img = ((img - img.min()) / np.ptp(img) * 255).astype(np.uint8)
+    labels = (
+        (ndimage.gaussian_filter(rng.rand(h, w), 8) > 0.5).astype(np.uint8)
+        + (ndimage.gaussian_filter(rng.rand(h, w), 5) > 0.6).astype(np.uint8)
+    )
+    unary = unary_from_labels(labels, 3, gt_prob=0.7).reshape(h, w, 3)
+    adv = dict(sxy_gaussian=3.0, compat_gaussian=3.0,
+               sxy_bilateral=80.0, srgb=13.0, compat_bilateral=10.0)
+    want = dense_meanfield_oracle(img, unary, 10, **adv)
+    stats = {}
+    for method in ("lowrank", "grid"):
+        run = make_crf((h, w), n_labels=3, t=10, method=method, **adv)
+        got = np.asarray(run(unary.astype(np.float32), img.astype(np.float32)))
+        stats[method] = (
+            (got.argmax(-1) == want.argmax(-1)).mean(),
+            np.abs(got - want).mean(),
+        )
+    assert stats["lowrank"][0] > 0.97, stats
+    assert stats["lowrank"][1] < 0.02, stats
+    assert stats["lowrank"][0] >= stats["grid"][0], stats
+    assert stats["lowrank"][1] <= stats["grid"][1], stats

@@ -1,5 +1,5 @@
-"""JAX bilateral-grid CRF vs the native permutohedral CRF (loose agreement:
-both approximate the same model) + behavior checks."""
+"""JAX CRF (default lowrank path) vs the native permutohedral CRF (loose
+agreement: both approximate the same model) + behavior checks."""
 
 import numpy as np
 

@@ -24,7 +24,7 @@ def main(argv=None):
                         help="single alpha; default runs the [4,8,16,24,32] sweep")
     parser.add_argument("--crf_backend", default="native", choices=["native", "tpu"],
                         help="native = exact C++ permutohedral; tpu = jitted "
-                        "bilateral-grid CRF")
+                        "low-rank (Nystrom color x SVD spatial) CRF")
     args = parser.parse_args(argv)
 
     import numpy as np

@@ -56,9 +56,10 @@ def crf_with_alpha(
     """(21, H, W) CRF score array for one image at the given bg alpha.
 
     backend: 'native' = exact permutohedral C++ path (pydensecrf-faithful,
-    default for stage-2 label generation); 'tpu' = the jitted bilateral-grid
-    CRF (ops/crf.py) — faster per image once compiled, slightly coarser color
-    blur."""
+    default for stage-2 label generation); 'tpu' = the jitted low-rank CRF
+    (ops/crf.py, Nystrom color x SVD spatial — 100 ms/img on chip at
+    384x512, ~98% argmax agreement with the exact dense model at this
+    parameterization)."""
     h, w = next(iter(cam_dict.values())).shape
     tensor = np.zeros((21, h, w), np.float32)
     for key, cam in cam_dict.items():

@@ -7,12 +7,19 @@ in ops/densecrf.py) that mirrors the reference's pydensecrf dependency:
 * spatial Gaussian messages: EXACT dense Gaussian filtering as two separable
   matmuls (H,H)/(W,W) on the MXU — no approximation at all, unlike the
   permutohedral lattice;
-* bilateral messages: a 5-D bilateral grid (splat with full multilinear
-  weights -> [1,2,1]/4 blur per axis -> multilinear slice), the classic
-  Chen/Paris/Durand approximation of the 5-D Gaussian. Color bins are capped
-  (default 16 per channel) to bound grid memory; for small srgb this coarsens
-  the color blur relative to pydensecrf (use the C++ path when stage-2 label
-  fidelity matters).
+* bilateral messages, two methods:
+  - "lowrank" (default): Nystrom landmark color features x SVD-factored
+    exact spatial Gaussian — every step a dense matmul, no scatters. 100 ms
+    per 384x512x21 10-iter image on a v5e chip, and MORE accurate than the
+    grid at every production parameterization (it honors the true srgb; see
+    make_crf).
+  - "grid": a 5-D bilateral grid (splat with full multilinear weights ->
+    [1,2,1]/4 blur per axis -> multilinear slice), the classic
+    Chen/Paris/Durand approximation. Color bins are capped (default 16 per
+    channel) to bound grid memory, which coarsens small-srgb color blur;
+    the 32-corner scatter/gather splat is scatter-bound on TPU (5.07 s for
+    the same image — 50x slower than lowrank). Kept as an independent
+    second approximation for cross-checks.
 
 Both kernels use the same symmetric normalization as densecrf
 (norm = rsqrt(K 1); messages = norm * K(norm * Q)) and the same update
@@ -33,6 +40,20 @@ def _gauss_matrix_np(size: int, sigma: float) -> np.ndarray:
     idx = np.arange(size, dtype=np.float64)
     d2 = (idx[:, None] - idx[None, :]) ** 2
     return np.exp(-d2 / (2.0 * sigma * sigma)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _gauss_lowrank_np(size: int, sigma: float, tol: float = 1e-4):
+    """SVD factor of the 1-D Gaussian kernel matrix: G ~= U @ V.T with
+    rank = #singular values above tol*s0 (a wide Gaussian on a short axis is
+    numerically low-rank: e.g. rank 9 for size 384 at sigma 80)."""
+    g = _gauss_matrix_np(size, sigma).astype(np.float64)
+    u, s, vt = np.linalg.svd(g)
+    r = max(1, int(np.sum(s > s[0] * tol)))
+    return (
+        np.ascontiguousarray(u[:, :r] * s[:r]).astype(np.float32),
+        np.ascontiguousarray(vt[:r].T).astype(np.float32),
+    )
 
 
 def _gaussian_filter(q: jax.Array, sxy: float) -> jax.Array:
@@ -104,10 +125,33 @@ def make_crf(
     srgb: float = 5.0,
     compat_bilateral: float = 10.0,
     max_color_bins: int = 16,
+    method: str = "lowrank",
+    n_landmarks: int = 224,
+    m_chunk: int = 32,
+    ridge: float = 1e-4,
 ):
     """Build a jitted CRF for a fixed image size:
-    fn(unary (H, W, L) energies, img (H, W, 3) float 0..255) -> (H, W, L) Q."""
+    fn(unary (H, W, L) energies, img (H, W, 3) float 0..255) -> (H, W, L) Q.
+
+    method="lowrank" (default): MXU-native bilateral — Nystrom color
+    features from `n_landmarks` image-sampled landmark colors (exact on the
+    landmark palette, TRUE srgb — no color-bin cap) times an SVD-factored
+    exact spatial Gaussian; every step is a matmul, no scatters. Measured on
+    the real chip at 384x512x21, t=10: 100 ms/img vs the grid's 5.07 s
+    (50x); argmax agreement with the O(n^2) dense oracle on a full-palette
+    natural image beats the grid at every production parameterization
+    (srgb5: 93.1% vs 77.6%; srgb13: 98.0% vs 95.4%).
+
+    method="grid": 5-D bilateral grid (scatter/gather splat — correct but
+    scatter-bound on TPU: ~630 ms per message pass)."""
     h, w = image_hw
+    if method == "lowrank":
+        return _make_crf_lowrank(
+            (h, w), n_labels, t, sxy_gaussian, compat_gaussian,
+            sxy_bilateral, srgb, compat_bilateral, n_landmarks, m_chunk, ridge,
+        )
+    if method != "grid":
+        raise ValueError(f"unknown CRF method: {method}")
     srgb_eff = max(srgb, 255.0 / max_color_bins)
     gx = int(np.ceil((w - 1) / sxy_bilateral)) + 2
     gy = int(np.ceil((h - 1) / sxy_bilateral)) + 2
@@ -146,6 +190,77 @@ def make_crf(
             msg = msg + compat_bilateral * norm_b * _bilateral_grid_filter(
                 (norm_b * q).reshape(-1, n_labels), feats, grid_shape
             ).reshape(h, w, n_labels)
+            return jax.nn.softmax(msg, axis=-1)
+
+        q0 = jax.nn.softmax(neg_u, axis=-1)
+        return jax.lax.fori_loop(0, t, body, q0)
+
+    return run
+
+
+def _make_crf_lowrank(
+    image_hw, n_labels, t, sxy_gaussian, compat_gaussian, sxy_bilateral,
+    srgb, compat_bilateral, n_landmarks, m_chunk, ridge,
+):
+    """Scatter-free bilateral messages (see make_crf docstring).
+
+    k_bilateral(i,j) = k_xy(i,j) * k_rgb(ci,cj) factorizes; each factor is
+    approximated by a low-rank symmetric expansion that turns the message
+    pass into dense matmuls:
+
+    * color: Nystrom — k_rgb(ci,cj) ~= psi(ci)^T psi(cj) with
+      psi = (K_ZZ + ridge I)^(-1/2) k(Z, c) over M landmark colors Z
+      stride-sampled from the image itself (exact for colors in the
+      landmark span; natural palettes are covered at M~224);
+    * space: the 1-D Gaussian kernel matrices SVD-factored at tol 1e-4
+      (near-exact; a wide Gaussian is numerically low-rank).
+
+    message(v) = sum_m psi_m .* G_y G_x (psi_m .* v), chunked over m so the
+    (H, W, m_chunk, L) intermediate bounds memory. Everything lowers to
+    MXU matmuls + elementwise VPU work — no scatter/gather at all.
+    """
+    h, w = image_hw
+    uy, vy = _gauss_lowrank_np(h, sxy_bilateral)
+    ux, vx = _gauss_lowrank_np(w, sxy_bilateral)
+    stride = max(1, (h * w) // n_landmarks)
+
+    @jax.jit
+    def run(unary: jax.Array, img: jax.Array) -> jax.Array:
+        colors = img.reshape(-1, 3).astype(jnp.float32) / srgb
+        z = colors[::stride][:n_landmarks]  # (M, 3) landmark colors
+        m = z.shape[0]
+        kzz = jnp.exp(-0.5 * ((z[:, None] - z[None]) ** 2).sum(-1))
+        evals, evecs = jnp.linalg.eigh(kzz + ridge * jnp.eye(m))
+        inv_sqrt = (evecs * jax.lax.rsqrt(jnp.maximum(evals, ridge))) @ evecs.T
+        kzc = jnp.exp(-0.5 * ((z[:, None] - colors[None]) ** 2).sum(-1))
+        psi = (inv_sqrt @ kzc).T.reshape(h, w, m)  # (H, W, M)
+
+        def bilateral(v):  # (H, W, C) -> (H, W, C)
+            out = jnp.zeros_like(v)
+            for c0 in range(0, n_landmarks, m_chunk):
+                cc = psi[..., c0 : c0 + m_chunk]
+                x = cc[..., :, None] * v[..., None, :]  # (H, W, mc, C)
+                f = jnp.einsum("hr,hwmc->rwmc", vy, x)
+                f = jnp.einsum("ws,rwmc->rsmc", vx, f)
+                f = jnp.einsum("hr,rsmc->hsmc", uy, f)
+                f = jnp.einsum("ws,hsmc->hwmc", ux, f)
+                out = out + jnp.einsum("hwmc,hwm->hwc", f, cc)
+            return out
+
+        ones = jnp.ones((h, w, 1), jnp.float32)
+        norm_g = jax.lax.rsqrt(_gaussian_filter(ones, sxy_gaussian) + 1e-20)
+        # Nystrom + SVD truncation can leave tiny negative values where the
+        # kernel mass is ~0; clamp before the rsqrt normalization
+        norm_b = jax.lax.rsqrt(jnp.maximum(bilateral(ones), 1e-6))
+
+        neg_u = -unary
+
+        def body(_, q):
+            msg = neg_u
+            msg = msg + compat_gaussian * norm_g * _gaussian_filter(
+                norm_g * q, sxy_gaussian
+            )
+            msg = msg + compat_bilateral * norm_b * bilateral(norm_b * q)
             return jax.nn.softmax(msg, axis=-1)
 
         q0 = jax.nn.softmax(neg_u, axis=-1)
