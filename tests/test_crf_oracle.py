@@ -262,3 +262,46 @@ def test_lowrank_crf_full_palette_beats_grid():
     assert stats["lowrank"][1] < 0.02, stats
     assert stats["lowrank"][0] >= stats["grid"][0], stats
     assert stats["lowrank"][1] <= stats["grid"][1], stats
+
+
+def test_masked_bucket_padding_is_exact():
+    """Padding to a bucket shape with valid_hw masking must reproduce the
+    unpadded result on the valid region: the symmetric normalization is
+    built from the valid mask, so padded pixels neither send nor receive
+    messages. Grid: exact (valid pixels splat to the same cells). Lowrank:
+    only the padded-size SVD truncation (tol 1e-4) differs."""
+    img, noisy = _scene()
+    h, w = noisy.shape
+    unary = unary_from_labels(noisy, 3, gt_prob=0.7).reshape(h, w, 3).astype(np.float32)
+    imgf = img.astype(np.float32)
+    hp, wp = h + 24, w + 40
+    unary_p = np.zeros((hp, wp, 3), np.float32)
+    unary_p[:h, :w] = unary
+    img_p = np.zeros((hp, wp, 3), np.float32)
+    img_p[:h, :w] = imgf
+    for method, tol in (("lowrank", 2e-3), ("grid", 1e-5)):
+        exact = make_crf((h, w), n_labels=3, t=10, method=method, **PARAMS)
+        want = np.asarray(exact(unary, imgf))
+        run = make_crf(
+            (hp, wp), n_labels=3, t=10, method=method, masked=True, **PARAMS
+        )
+        got = np.asarray(run(unary_p, img_p, (h, w)))[:h, :w]
+        assert (got.argmax(-1) == want.argmax(-1)).all(), method
+        err = np.abs(got - want)
+        assert err.max() < tol, (method, err.max())
+
+
+def test_batched_alpha_axis_matches_single_runs():
+    """crf_labels_tpu_batch (one image, A labelings, shared color features)
+    must match per-labeling crf_labels_tpu runs; only the m_chunk summation
+    order differs."""
+    from wseg_tpu.ops.crf import crf_labels_tpu, crf_labels_tpu_batch
+
+    img, noisy = _scene()
+    labels2 = ((noisy + 1) % 3).astype(np.uint8)
+    batch = crf_labels_tpu_batch(img, np.stack([noisy, labels2]), t=5, n_labels=3)
+    singles = np.stack(
+        [crf_labels_tpu(img, lab, t=5, n_labels=3) for lab in (noisy, labels2)]
+    )
+    assert batch.shape == (2, 3, *noisy.shape)
+    np.testing.assert_allclose(batch, singles, atol=1e-5)

@@ -31,16 +31,37 @@ def main(argv=None):
     from concurrent.futures import ThreadPoolExecutor
 
     from wseg_tpu.data.voc12 import get_img_path, load_img_name_list
-    from wseg_tpu.infer.crf_post import crf_with_alpha
+    from wseg_tpu.infer.crf_post import crf_with_alpha, crf_with_alpha_sweep
 
     name_list = load_img_name_list(args.infer_list)
     alpha_list = [args.alpha] if args.alpha is not None else [4, 8, 16, 24, 32]
 
+    folders = {}
     for alpha in alpha_list:
-        crf_folder = os.path.join(args.out_crf, "%.2f" % alpha)
-        os.makedirs(crf_folder, exist_ok=True)
+        folders[alpha] = os.path.join(args.out_crf, "%.2f" % alpha)
+        os.makedirs(folders[alpha], exist_ok=True)
 
-        def work(name, alpha=alpha, crf_folder=crf_folder):
+    if args.crf_backend == "tpu":
+        # image-major: each image is ONE device dispatch covering the whole
+        # alpha sweep (the alphas share the image's Nystrom color features),
+        # and bucketed shape padding keeps the compile count to a handful of
+        # bucket programs for the whole corpus (ops/crf.py)
+        for name in name_list:
+            cam_dict = np.load(
+                os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
+            ).item()
+            crfs = crf_with_alpha_sweep(
+                cam_dict, get_img_path(name, args.voc12_root), alpha_list,
+                t=args.crf_iters, backend="tpu",
+            )
+            for alpha, crf in zip(alpha_list, crfs):
+                np.save(os.path.join(folders[alpha], name + ".npy"), crf)
+        for alpha in alpha_list:
+            print(f"Info: Alpha {alpha} done!", flush=True)
+        return
+
+    for alpha in alpha_list:
+        def work(name, alpha=alpha, crf_folder=folders[alpha]):
             cam_dict = np.load(
                 os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
             ).item()
@@ -48,12 +69,10 @@ def main(argv=None):
                 cam_dict, get_img_path(name, args.voc12_root), alpha,
                 t=args.crf_iters, backend=args.crf_backend,
             )
-            np.save(os.path.join(crf_folder, name + ".npy"), crf)
+            np.save(os.path.join(folders[alpha], name + ".npy"), crf)
 
-        # the tpu backend compiles per image shape — serialize it; the native
-        # C++ path releases the GIL and fans out across threads
-        workers = 1 if args.crf_backend == "tpu" else args.num_workers
-        with ThreadPoolExecutor(max_workers=workers) as pool:
+        # the native C++ path releases the GIL and fans out across threads
+        with ThreadPoolExecutor(max_workers=args.num_workers) as pool:
             list(pool.map(work, name_list))
         print(f"Info: Alpha {alpha} done!", flush=True)
 

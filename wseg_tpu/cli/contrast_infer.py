@@ -22,6 +22,9 @@ def main(argv=None):
     parser.add_argument("--out_cam_pred", default=None, type=str)
     parser.add_argument("--out_cam_pred_alpha", default=0.26, type=float)
     parser.add_argument("--crf_iters", default=10, type=int)
+    parser.add_argument("--crf_backend", default="native", choices=["native", "tpu"],
+                        help="native = exact C++ permutohedral; tpu = jitted "
+                        "low-rank (Nystrom color x SVD spatial) CRF on device")
     parser.add_argument("--bucket", default=64, type=int,
                         help="pad H/W to multiples for compile reuse; 0 = exact shapes")
     parser.add_argument("--device_msf", action="store_true",
@@ -82,7 +85,12 @@ def main(argv=None):
     use_batched = batch_size > 1 or mesh is not None
     batched_loop = use_batched and not args.device_msf  # device_msf is per-image
 
-    crf_pool = ThreadPoolExecutor(max_workers=args.num_workers)
+    # the native C++ CRF releases the GIL and fans out across threads; the
+    # tpu backend's dispatches serialize on the one device, so one worker
+    # suffices (it still overlaps host png writes with device compute)
+    crf_pool = ThreadPoolExecutor(
+        max_workers=1 if args.crf_backend == "tpu" else args.num_workers
+    )
     crf_futures = []
     timer = Timer("Infer started: ")
 
@@ -118,7 +126,7 @@ def main(argv=None):
                 crf_pool.submit(
                     crf_from_cam_dict, cam_dict, img_path,
                     os.path.join(args.out_crf, name + ".png"),
-                    t=args.crf_iters,
+                    t=args.crf_iters, backend=args.crf_backend,
                 )
             )
 
