@@ -23,8 +23,14 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 
 
-def checksum(x):
-    return float(jax.jit(lambda a: jnp.sum(a))(x))
+# ONE jitted reduction over the whole output list: an eager jnp.sum on a
+# device output costs a separate relay dispatch (~190 ms measured) that
+# would swamp the 200-400 ms programs being measured
+_drain = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
+
+
+def checksum(xs):
+    return float(_drain(xs if isinstance(xs, list) else [xs]))
 
 
 def main():
@@ -64,7 +70,7 @@ def main():
         for _ in range(7):
             t0 = time.perf_counter()
             outs = fn()
-            checksum(sum(jnp.sum(o) for o in outs))
+            checksum(outs)
             times.append(time.perf_counter() - t0)
         times.sort()
         print(f"{tag}: device min/med/max {times[0]:.3f}/{times[3]:.3f}/{times[-1]:.3f} s "

@@ -243,9 +243,11 @@ def make_crf(
     batch=True   — unary carries a leading axis (A, H, W, L) sharing ONE
                    image: color features / kernel factors are computed once,
                    the mean-field loop is vmapped over A (aff_prepare's
-                   alpha sweep). The per-lane landmark chunk shrinks toward
-                   16 as A grows to bound the (A, H, W, mc, L) intermediate
-                   (measured: 42 ms/alpha at A=5 vs 54 ms/alpha unbatched).
+                   alpha sweep). The landmark chunk is capped near A*mc=160
+                   to bound the (A, H, W, mc, L) intermediate (measured on
+                   chip: 42 ms/alpha at A=5/mc=32 vs 86 ms/alpha as five
+                   separate dispatches — the alphas share the color
+                   features AND the batched matmuls fill the MXU better).
     unary_mode="label" — fn takes integer label maps (..., H, W) instead of
                    energies; the pydensecrf unary_from_labels energies (via
                    `gt_prob`, no unlabeled class) are built ON DEVICE, so
@@ -314,11 +316,13 @@ def make_crf(
             onehot = jax.nn.one_hot(unary.astype(jnp.int32), n_labels, dtype=jnp.float32)
             unary = n_e + (p_e - n_e) * onehot
         if batch:
-            # keep the (A, H, W, mc, L) intermediate bounded without
-            # starving the MXU: measured on chip at 384x512x21 A=5, t=10 —
-            # mc=6: 705 ms, mc=16: 214 ms, mc=32: 210 ms, mc=56: 620 ms
-            # (HBM pressure); floor at 16
-            mc = min(m_chunk, max(16, m_chunk // max(1, unary.shape[0])))
+            # keep the vmapped (A, H, W, mc, L) intermediate bounded without
+            # starving the MXU: measured on chip at 384x512x21 A=5, t=10
+            # (masked label-mode program, resident inputs, scalar-sync) —
+            # mc=16: 244 ms, mc=32: 209 ms, mc=56: 618 ms, mc=112: 647 ms
+            # per sweep (HBM pressure past 32; mc=224 OOMs at 18.5 GB). Cap
+            # A*mc near the measured knee so larger sweeps shrink the chunk.
+            mc = min(m_chunk, max(16, 160 // max(1, unary.shape[0])))
             return jax.vmap(lambda u: core(u, img, vhw, mc))(unary)
         return core(unary, img, vhw, m_chunk)
 
