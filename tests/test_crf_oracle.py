@@ -305,3 +305,25 @@ def test_batched_alpha_axis_matches_single_runs():
     )
     assert batch.shape == (2, 3, *noisy.shape)
     np.testing.assert_allclose(batch, singles, atol=1e-5)
+
+
+def test_softmax_unary_tpu_matches_native():
+    """dense_crf_tpu (stage-3 seg_test backend, softmax unary, seg
+    parameterization sxy32/srgb13/1 iter) vs the native permutohedral
+    dense_crf: same contract, high argmax agreement, finite marginals."""
+    from wseg_tpu.ops.crf import dense_crf_tpu
+    from wseg_tpu.ops.densecrf import dense_crf
+
+    img, noisy = _scene()
+    h, w = noisy.shape
+    rng = np.random.RandomState(1)
+    logits = np.eye(3, dtype=np.float32)[noisy] * 2.0
+    logits += rng.randn(h, w, 3).astype(np.float32) * 0.3
+    probs = np.ascontiguousarray(np.transpose(_softmax(logits), (2, 0, 1)))
+    a = dense_crf_tpu(probs.astype(np.float32), img, n_classes=3)
+    b = dense_crf(probs.astype(np.float32), img, n_classes=3)
+    assert a.shape == b.shape == (3, h, w)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a.sum(0), 1.0, atol=1e-4)
+    agree = (a.argmax(0) == b.argmax(0)).mean()
+    assert agree > 0.97, agree

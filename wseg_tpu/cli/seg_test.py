@@ -21,6 +21,11 @@ def main(argv=None):
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--period", default="val")
     parser.add_argument("--no_crf", action="store_true")
+    parser.add_argument("--crf_backend", default="native", choices=["native", "tpu"],
+                        help="native = exact C++ permutohedral (runs on host "
+                        "threads, overlapping the next batch's TTA forward); "
+                        "tpu = jitted low-rank CRF on device (ops/crf.py — "
+                        "frees the host, but shares the chip with the TTA)")
     parser.add_argument("--bucket", type=int, default=64)
     parser.add_argument("--batch_size", type=int, default=0,
                         help="images per TTA batch; 0 = 8 per device "
@@ -39,6 +44,8 @@ def main(argv=None):
     import numpy as np
 
     from wseg_tpu.ops.densecrf import dense_crf
+    if args.crf_backend == "tpu":
+        from wseg_tpu.ops.crf import dense_crf_tpu as dense_crf  # noqa: F811
     from wseg_tpu.ops.resize import _resize_weights_np
     from wseg_tpu.seg.config import EXPERIMENTS
     from wseg_tpu.seg.dataset import generate_dataset

@@ -371,3 +371,40 @@ def crf_labels_tpu_batch(
     )
     q = np.asarray(run(jnp.asarray(labels_p), jnp.asarray(img_p), (h, w)))
     return np.ascontiguousarray(np.transpose(q[:, :h, :w], (0, 3, 1, 2)))
+
+def crf_softmax_tpu(
+    img: np.ndarray, probs: np.ndarray, t: int = 10, n_labels: int = 21,
+    bucket: int = 64, **kw,
+) -> np.ndarray:
+    """Softmax-unary CRF on TPU; same contract as
+    ops.densecrf.crf_inference_softmax (probs (L, H, W) -> (L, H, W)).
+
+    Unary energies are -log(prob) (pydensecrf unary_from_softmax). Padded
+    pixels carry zero energies and — because the masked program's symmetric
+    normalization is built from the valid mask — neither send nor receive
+    messages, so the valid crop is exactly the unpadded result."""
+    l, h, w = probs.shape
+    hp, wp = _round_up(h, bucket), _round_up(w, bucket)
+    unary_p = np.zeros((hp, wp, l), np.float32)
+    unary_p[:h, :w] = -np.log(
+        np.clip(np.transpose(probs, (1, 2, 0)), 1e-8, None)
+    )
+    img_p = np.zeros((hp, wp, 3), np.uint8)
+    img_p[:h, :w] = img
+    run = make_crf((hp, wp), n_labels=n_labels, t=t, masked=True, **kw)
+    q = np.asarray(run(jnp.asarray(unary_p), jnp.asarray(img_p), (h, w)))
+    return np.ascontiguousarray(np.transpose(q[:h, :w], (2, 0, 1)))
+
+
+def dense_crf_tpu(
+    probs: np.ndarray, img: np.ndarray, n_classes: int = 21, n_iters: int = 1,
+    scale_factor: float = 1,
+) -> np.ndarray:
+    """TPU twin of ops.densecrf.dense_crf — the stage-3 test-time CRF
+    (segmentation/lib/utils/DenseCRF.py:5-39: softmax unary, Gaussian
+    sxy3/compat3, bilateral sxy32/srgb13/compat10, one iteration)."""
+    return crf_softmax_tpu(
+        img, probs, t=n_iters, n_labels=n_classes,
+        sxy_gaussian=3 / scale_factor, compat_gaussian=3,
+        sxy_bilateral=32 / scale_factor, srgb=13, compat_bilateral=10,
+    )
