@@ -45,8 +45,12 @@ def main(argv=None):
         # image-major: each image is ONE device dispatch covering the whole
         # alpha sweep (the alphas share the image's Nystrom color features),
         # and bucketed shape padding keeps the compile count to a handful of
-        # bucket programs for the whole corpus (ops/crf.py)
-        for name in name_list:
+        # bucket programs for the whole corpus (ops/crf.py). A few threads
+        # pipeline the host side: while one image's (A, 21, H, W) result
+        # downloads / saves, another thread loads and dispatches the next —
+        # device compute serializes in-stream either way. Worker count stays
+        # small to bound host memory (~80 MB of scores in flight per image).
+        def work(name):
             cam_dict = np.load(
                 os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
             ).item()
@@ -56,6 +60,9 @@ def main(argv=None):
             )
             for alpha, crf in zip(alpha_list, crfs):
                 np.save(os.path.join(folders[alpha], name + ".npy"), crf)
+
+        with ThreadPoolExecutor(max_workers=min(4, args.num_workers)) as pool:
+            list(pool.map(work, name_list))
         for alpha in alpha_list:
             print(f"Info: Alpha {alpha} done!", flush=True)
         return
