@@ -62,3 +62,26 @@ def test_aff_prepare_tpu_backend_sweep(prepared_root, tmp_path):
             assert np.isfinite(a).all()
             agree = (a.argmax(0) == b.argmax(0)).mean()
             assert agree > 0.95, (alpha, name, agree)
+
+
+def test_crf_from_cam_dict_backends_agree(prepared_root, tmp_path):
+    """contrast_infer's CRF png path (crf_from_cam_dict, imutils
+    parameterization sxy50/srgb5): tpu backend argmax must track the exact
+    native lattice."""
+    from PIL import Image
+
+    from wseg_tpu.infer.crf_post import crf_from_cam_dict
+
+    root, names = prepared_root
+    name = names[0]
+    cam_dict = np.load(root / "cam" / f"{name}.npy", allow_pickle=True).item()
+    img_path = str(root / "JPEGImages" / f"{name}.jpg")
+    outs = {}
+    for backend in ("native", "tpu"):
+        out = tmp_path / f"{backend}.png"
+        pred = crf_from_cam_dict(cam_dict, img_path, str(out), t=3, backend=backend)
+        assert (np.array(Image.open(out)) == pred).all()
+        outs[backend] = pred
+    assert outs["native"].shape == outs["tpu"].shape
+    agree = (outs["native"] == outs["tpu"]).mean()
+    assert agree > 0.95, agree
