@@ -219,10 +219,17 @@ def main():
             "reference_rep_s": _spread(ref_rep_s) if ref_ips else None,
             "reference_img_s": _spread(ref_img_s) if ref_ips else None,
             "first_compile_s": round(compile_s, 1),
+            "pct_of_physical_ceiling": round(fused_ips / 16.7 * 100, 1),
             "transfer_note": "baseline syncs per view via scalar checksum; "
             "with the reference's per-view bulk cam transfers it measures "
             "~0.017 i/s on this relay (100x slower), which would overstate "
             "the speedup",
+            "ratio_band_note": "the fused value reproduces to 0.03% across "
+            "runs; the baseline pays 9 relay round trips per image, so "
+            "vs_baseline moves with the relay's latency phase — measured "
+            "band 4.999-5.353 over four full runs (ROOFLINE.md 5b-3); the "
+            "16.7 i/s physical ceiling (11.76 TFLOP/img at 197 TFLOP/s "
+            "bf16 peak) is derived in ROOFLINE.md 3",
         },
     }
     print(json.dumps(result))
