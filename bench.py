@@ -132,6 +132,21 @@ def main():
         fused_rep_s.append((time.perf_counter() - t0) / args.iters)
     fused_ips = b / _median(fused_rep_s)
 
+    # Measure the relay's round-trip latency in-run: one trivial jitted
+    # scalar program, dispatched and synced repeatedly. The baseline pays ~9
+    # of these per image while the fused path pays ~1 per 256 images, so the
+    # relay's latency phase at record time sets where in the measured
+    # 4.99-5.35 band this run's ratio lands (ROOFLINE.md 5b-3). Recorded so
+    # the artifact explains its own landing spot.
+    tiny = jax.jit(lambda x: x + 1.0)
+    zscalar = jnp.float32(0.0)
+    float(tiny(zscalar))  # compile
+    rtt_s = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        float(tiny(zscalar))
+        rtt_s.append(time.perf_counter() - t0)
+
     ref_ips = None
     ref_rep_s = []
     if not args.skip_reference_style:
@@ -219,6 +234,7 @@ def main():
             "reference_rep_s": _spread(ref_rep_s) if ref_ips else None,
             "reference_img_s": _spread(ref_img_s) if ref_ips else None,
             "first_compile_s": round(compile_s, 1),
+            "relay_rtt_ms": _spread([r * 1000 for r in rtt_s]),
             "pct_of_physical_ceiling": round(fused_ips / 16.7 * 100, 1),
             "transfer_note": "baseline syncs per view via scalar checksum; "
             "with the reference's per-view bulk cam transfers it measures "
@@ -227,7 +243,8 @@ def main():
             "ratio_band_note": "the fused value reproduces to 0.03% across "
             "runs; the baseline pays 9 relay round trips per image, so "
             "vs_baseline moves with the relay's latency phase — measured "
-            "band 4.999-5.353 over four full runs (ROOFLINE.md 5b-3); the "
+            "band 4.999-5.353 over four full runs (ROOFLINE.md 5b-3); "
+            "detail.relay_rtt_ms records this run's phase in-run; the "
             "16.7 i/s physical ceiling (11.76 TFLOP/img at 197 TFLOP/s "
             "bf16 peak) is derived in ROOFLINE.md 3",
         },
