@@ -137,6 +137,40 @@ def test_random_walk_bucketed_equals_reference_pad():
 
 
 @pytest.mark.slow
+def test_refine_batch_pixel_cap_chunking_is_exact():
+    """refine_batch caps each dispatch at `max_walk_px` padded pixels
+    (ROOFLINE.md 5d: b64 at 384x512 is the measured working-set limit, so
+    larger buckets get smaller chunks). Chunked dispatches must produce the
+    same masks as one unchunked dispatch and as per-image refine_one."""
+    from wseg_tpu.infer.rw import RandomWalkRefiner
+    from wseg_tpu.models import build_model
+
+    model = build_model("affinity")
+    variables = _realistic_variables(model)
+    rng = np.random.RandomState(1)
+
+    items = []
+    for i in range(5):
+        h, w = 60 + 2 * i, 62
+        img = rng.rand(h, w, 3).astype(np.float32)
+        cam = np.zeros((h, w, 21), np.float32)
+        cam[..., 0] = 0.27
+        cam[..., 3] = rng.rand(h, w)
+        items.append((img, cam))
+
+    # all 5 pad to the same (64, 64) bucket; cap at 2 images per dispatch
+    kw = dict(beta=2, logt=2, bucket=64)
+    chunked = RandomWalkRefiner(
+        model, variables, max_walk_px=2 * 64 * 64, **kw
+    ).refine_batch(items)
+    whole = RandomWalkRefiner(model, variables, **kw).refine_batch(items)
+    one = RandomWalkRefiner(model, variables, **kw)
+    for i, (img, cam) in enumerate(items):
+        np.testing.assert_array_equal(chunked[i], whole[i])
+        np.testing.assert_array_equal(chunked[i], one.refine_one(img, cam))
+
+
+@pytest.mark.slow
 def test_view_chunking_is_exact():
     """Per-dispatch pixel caps (infer/cam.py MAX_VIEW_PX) split big-scale
     batches into chunks — lax.map inside make_fused_msf_fn's per-scale

@@ -26,13 +26,14 @@ def main(argv=None):
     parser.add_argument("--bg_score", default=0.27, type=float)
     parser.add_argument("--bucket", default=64, type=int)
     parser.add_argument("--batch_size", default=0, type=int,
-                        help="images per refine_batch call; 0 = 32 per "
+                        help="images per refine_batch call; 0 = 64 per "
                         "device (the walk's dependent small-matmul chain is "
                         "latency-bound: measured 27 -> 90 -> 99 -> 107 "
                         "imgs/s at batch 1/16/32/64 on one chip, ROOFLINE.md "
-                        "5d; 64 is worth +9%% on uniform ~384x512 images "
-                        "but OOMs on 512x512 buckets, so 32 is the "
-                        "mixed-size-safe default). With "
+                        "5d). Names are pre-grouped by bucket shape and each "
+                        "bucket's dispatch is capped at the walk's pixel "
+                        "budget (64*384*512), so 512x512 buckets run at 48 "
+                        "and nothing OOMs on mixed sizes. With "
                         ">1 local chip, batches also shard over a "
                         "data-parallel mesh (the reference refines one "
                         "image on one GPU at a time)")
@@ -68,7 +69,7 @@ def main(argv=None):
         }
 
     n_devices = len(jax.devices())
-    batch_size = args.batch_size or 32 * n_devices
+    batch_size = args.batch_size or 64 * n_devices
     mesh = None
     if n_devices > 1:
         from wseg_tpu.parallel.mesh import make_mesh
@@ -98,8 +99,30 @@ def main(argv=None):
     if mesh is not None or batch_size > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        bs = max(batch_size, 1)
-        chunks = [name_list[s : s + bs] for s in range(0, len(name_list), bs)]
+        from wseg_tpu.infer.rw import MAX_WALK_PX
+
+        # Pre-scan image sizes from the JPEG headers (no pixel decode) and
+        # group names by bucket shape: every device dispatch is then a full
+        # constant-shape batch — maximal walk batching (the chain is
+        # latency-bound, ROOFLINE.md 5d) and ONE compiled program per bucket
+        # shape instead of one per group-fill size (remote compiles take
+        # minutes). Each bucket's chunk size is capped by the walk's pixel
+        # budget so large buckets cannot OOM.
+        mult = args.bucket or 8
+        shape_groups: dict[tuple[int, int], list[str]] = {}
+        for name in name_list:
+            with Image.open(get_img_path(name, args.voc12_root)) as im:
+                w, h = im.size
+            key = (-(-h // mult) * mult, -(-w // mult) * mult)
+            shape_groups.setdefault(key, []).append(name)
+
+        chunks = []
+        for (ph, pw), names in shape_groups.items():
+            bmax = max(
+                n_devices, MAX_WALK_PX // (ph * pw) // n_devices * n_devices
+            )
+            bs = min(max(batch_size, 1), bmax)
+            chunks += [names[s : s + bs] for s in range(0, len(names), bs)]
         # overlap next-chunk host prep (JPEG decode + cam load) with device
         # compute, like contrast_infer's prefetch pool
         pool = ThreadPoolExecutor(max_workers=max(min(args.num_workers, 4), 1))

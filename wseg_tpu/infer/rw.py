@@ -17,13 +17,22 @@ import numpy as np
 from wseg_tpu.ops.random_walk import random_walk_refine
 
 
+# Per-dispatch pixel budget for the batched walk: the pair-gather temp
+# scales with b*ph*pw (f32[b*pairs, 128, 448] at 384x512 — ROOFLINE.md 5d).
+# b64 at 384x512 is the measured-good working set (107.5 imgs/s, +9% over
+# b32) while b96 OOMs, so any one dispatch is capped at 64*384*512 padded
+# pixels; larger buckets get proportionally smaller chunks (512x512 -> b48).
+MAX_WALK_PX = 64 * 384 * 512
+
+
 class RandomWalkRefiner:
     def __init__(self, model, variables, beta: int = 8, logt: int = 6, bucket: int = 64,
-                 mesh=None):
+                 mesh=None, max_walk_px: int = MAX_WALK_PX):
         self.model = model
         self.beta = beta
         self.logt = logt
         self.bucket = bucket
+        self.max_walk_px = max_walk_px
         # mesh: shard refine_batch over the `data` axis (replica-parallel
         # stage-2 inference; the reference's aff_infer is strictly one image
         # on one GPU at a time)
@@ -81,7 +90,9 @@ class RandomWalkRefiner:
         construction (padding a small image up to a mixed-size chunk's max
         would instead route extra pad cells through the walk's transition
         matrix and the final interpolation row). Groups shard over the
-        mesh's `data` axis when a mesh is set.
+        mesh's `data` axis when a mesh is set, and each dispatch is capped
+        at `max_walk_px` padded pixels (mesh-multiple chunks) so large
+        buckets cannot OOM the pair-gather temp.
 
         items: [(img_hwc, cam_full), ...]; returns the argmax pseudo masks
         [(H, W) uint8, ...] at original sizes."""
@@ -94,24 +105,28 @@ class RandomWalkRefiner:
             groups.setdefault(key, []).append(i)
 
         out: list[np.ndarray | None] = [None] * len(items)
-        for (ph, pw), idxs in groups.items():
-            b = len(idxs)
-            b_pad = -(-b // n_dev) * n_dev
-            imgs = np.zeros((b_pad, ph, pw, 3), np.float32)
-            cams = np.zeros((b_pad, ph, pw, 21), np.float32)
-            for j, i in enumerate(idxs + [idxs[-1]] * (b_pad - b)):
-                im, cam = items[i]
-                h, w = im.shape[:2]
-                imgs[j, :h, :w] = im
-                cams[j, :h, :w] = cam
-            xb, cb = jnp.asarray(imgs), jnp.asarray(cams)
-            if self.mesh is not None:
-                xb = jax.device_put(xb, self._data_sharding)
-                cb = jax.device_put(cb, self._data_sharding)
-            preds = np.asarray(self._batch_program(ph, pw)(self.variables, xb, cb))
-            for j, i in enumerate(idxs):
-                h, w = items[i][0].shape[:2]
-                out[i] = preds[j, :h, :w]
+        for (ph, pw), g_idxs in groups.items():
+            # cap each dispatch at the pixel budget (mesh-multiple chunks)
+            bmax = max(n_dev, self.max_walk_px // (ph * pw) // n_dev * n_dev)
+            for s in range(0, len(g_idxs), bmax):
+                idxs = g_idxs[s : s + bmax]
+                b = len(idxs)
+                b_pad = -(-b // n_dev) * n_dev
+                imgs = np.zeros((b_pad, ph, pw, 3), np.float32)
+                cams = np.zeros((b_pad, ph, pw, 21), np.float32)
+                for j, i in enumerate(idxs + [idxs[-1]] * (b_pad - b)):
+                    im, cam = items[i]
+                    h, w = im.shape[:2]
+                    imgs[j, :h, :w] = im
+                    cams[j, :h, :w] = cam
+                xb, cb = jnp.asarray(imgs), jnp.asarray(cams)
+                if self.mesh is not None:
+                    xb = jax.device_put(xb, self._data_sharding)
+                    cb = jax.device_put(cb, self._data_sharding)
+                preds = np.asarray(self._batch_program(ph, pw)(self.variables, xb, cb))
+                for j, i in enumerate(idxs):
+                    h, w = items[i][0].shape[:2]
+                    out[i] = preds[j, :h, :w]
         return out
 
     def refine_one(self, img_hwc: np.ndarray, cam_full: np.ndarray) -> np.ndarray:
