@@ -216,6 +216,14 @@ def main():
             ref_rep_s.append(time.perf_counter() - t0)
         ref_ips = 1.0 / _median(ref_img_s)
 
+    # physical ceiling for THIS configuration (ROOFLINE.md 3 derives the
+    # default's 16.7 i/s: 11.76 TFLOP/img at 384x512 over the 196.6 TFLOP/s
+    # bf16 peak); the workload's FLOPs scale with the pixel count and the
+    # f32 MXU peak is half of bf16's
+    tflop_per_img = 11.76 * (h0 * w0) / (384 * 512)
+    peak_tflops = 196.6 if args.dtype == "bfloat16" else 98.3
+    ceiling_ips = peak_tflops / tflop_per_img
+
     result = {
         "metric": "CAM imgs/sec/chip (ms+flip infer)",
         "value": round(fused_ips, 3),
@@ -235,7 +243,8 @@ def main():
             "reference_img_s": _spread(ref_img_s) if ref_ips else None,
             "first_compile_s": round(compile_s, 1),
             "relay_rtt_ms": _spread([r * 1000 for r in rtt_s]),
-            "pct_of_physical_ceiling": round(fused_ips / 16.7 * 100, 1),
+            "physical_ceiling_ips": round(ceiling_ips, 1),
+            "pct_of_physical_ceiling": round(fused_ips / ceiling_ips * 100, 1),
             "transfer_note": "baseline syncs per view via scalar checksum; "
             "with the reference's per-view bulk cam transfers it measures "
             "~0.017 i/s on this relay (100x slower), which would overstate "

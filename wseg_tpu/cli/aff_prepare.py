@@ -42,6 +42,9 @@ def main(argv=None):
         os.makedirs(folders[alpha], exist_ok=True)
 
     if args.crf_backend == "tpu":
+        from wseg_tpu.utils.jaxsetup import enable_compilation_cache
+
+        enable_compilation_cache()
         # image-major: each image is ONE device dispatch covering the whole
         # alpha sweep (the alphas share the image's Nystrom color features),
         # and bucketed shape padding keeps the compile count to a handful of
@@ -61,7 +64,7 @@ def main(argv=None):
             for alpha, crf in zip(alpha_list, crfs):
                 np.save(os.path.join(folders[alpha], name + ".npy"), crf)
 
-        with ThreadPoolExecutor(max_workers=min(4, args.num_workers)) as pool:
+        with ThreadPoolExecutor(max_workers=max(min(4, args.num_workers), 1)) as pool:
             list(pool.map(work, name_list))
         for alpha in alpha_list:
             print(f"Info: Alpha {alpha} done!", flush=True)
@@ -79,7 +82,7 @@ def main(argv=None):
             np.save(os.path.join(folders[alpha], name + ".npy"), crf)
 
         # the native C++ path releases the GIL and fans out across threads
-        with ThreadPoolExecutor(max_workers=args.num_workers) as pool:
+        with ThreadPoolExecutor(max_workers=max(args.num_workers, 1)) as pool:
             list(pool.map(work, name_list))
         print(f"Info: Alpha {alpha} done!", flush=True)
 

@@ -22,10 +22,11 @@ def main(argv=None):
     parser.add_argument("--period", default="val")
     parser.add_argument("--no_crf", action="store_true")
     parser.add_argument("--crf_backend", default="native", choices=["native", "tpu"],
-                        help="native = exact C++ permutohedral (runs on host "
-                        "threads, overlapping the next batch's TTA forward); "
-                        "tpu = jitted low-rank CRF on device (ops/crf.py — "
-                        "frees the host, but shares the chip with the TTA)")
+                        help="native = exact C++ permutohedral (post-processing "
+                        "runs on a host thread pool, overlapping the next "
+                        "batch's TTA forward); tpu = jitted low-rank CRF on "
+                        "device (ops/crf.py — frees the host, but shares the "
+                        "chip with the TTA)")
     parser.add_argument("--bucket", type=int, default=64)
     parser.add_argument("--batch_size", type=int, default=0,
                         help="images per TTA batch; 0 = 8 per device "
@@ -98,17 +99,53 @@ def main(argv=None):
 
     mult = args.bucket
     n_flip = 2 if cfg.TEST_FLIP else 1
+    n_views = len(cfg.TEST_MULTISCALE) * n_flip
     timer = Timer("Seg test started: ")
-    result_list = []
 
     from concurrent.futures import ThreadPoolExecutor
 
     # overlap next-chunk host prep (decode + multiscale resizes) with device
     # compute
     prep_pool = ThreadPoolExecutor(max_workers=2)
+    # ...and per-image host POST-processing (12 bilinear upsamples + fusion +
+    # CRF + png save) with the NEXT chunk's device compute: the native CRF
+    # releases the GIL, and the host einsum upsamples dominate the host side
+    post_pool = ThreadPoolExecutor(max_workers=4)
+    post_futs = []
 
     def load_chunk(s):
         return [dataset[i] for i in range(s, min(s + batch_size, len(dataset)))]
+
+    def post_image(sample, views):
+        """views: [(stride-8 logits crop, vh, vw, flipped), ...] in the
+        reference's view order; accumulation order matches the inline loop
+        this replaces, so results are bit-identical."""
+        h, w = sample["row"], sample["col"]
+        acc = np.zeros((h, w, cfg.MODEL_NUM_CLASSES), np.float32)
+        for lg8, vh, vw, flipped in views:
+            # reference chain: stride-8 -> input size (a=True, inside the
+            # model, deeplabv1.py:51) -> original size (a=True, test.py:84-87)
+            lg = up(up(lg8, (vh, vw)), (h, w))
+            if flipped:
+                lg = lg[:, ::-1]
+            acc += lg
+        mean_logits = acc / n_views
+        prob = np.exp(mean_logits - mean_logits.max(axis=-1, keepdims=True))
+        prob /= prob.sum(axis=-1, keepdims=True)
+
+        if cfg.TEST_CRF:
+            img_uint8 = dataset.load_image(sample["name"])
+            # dense_crf pins the reference's seg parameterization
+            # (bilateral sxy=32, n_iters=1 — DenseCRF.py:20-23), which
+            # differs from imutils' sxy=80 variant
+            prob = dense_crf(
+                np.transpose(prob, (2, 0, 1)), img_uint8,
+                n_classes=cfg.MODEL_NUM_CLASSES,
+            )
+            pred = np.argmax(prob, axis=0).astype(np.uint8)
+        else:
+            pred = np.argmax(prob, axis=-1).astype(np.uint8)
+        dataset.save_result([{"name": sample["name"], "predict": pred}], cfg.MODEL_NAME)
 
     fut = prep_pool.submit(load_chunk, 0)
     for start in range(0, len(dataset), batch_size):
@@ -116,10 +153,7 @@ def main(argv=None):
         if start + batch_size < len(dataset):
             fut = prep_pool.submit(load_chunk, start + batch_size)
         b = len(chunk)
-        accs = [
-            np.zeros((s["row"], s["col"], cfg.MODEL_NUM_CLASSES), np.float32)
-            for s in chunk
-        ]
+        scale_outs = []  # (logits8, vhs, vws) per TTA scale, stride-8 sized
         for rate in cfg.TEST_MULTISCALE:
             imgs = [s["image_%f" % rate] for s in chunk]
             vhs = [im.shape[0] for im in imgs]
@@ -146,47 +180,31 @@ def main(argv=None):
             if data_sharding is not None:
                 xb = jax.device_put(xb, data_sharding)
                 vb = jax.device_put(vb, data_sharding)
-            logits8 = np.asarray(forward(ph, pw)(variables, xb, vb))
-            for i in range(b):
+            scale_outs.append(
+                (np.asarray(forward(ph, pw)(variables, xb, vb)), vhs, vws)
+            )
+        for i, sample in enumerate(chunk):
+            views = []
+            for logits8, vhs, vws in scale_outs:
                 vh, vw = vhs[i], vws[i]
-                h, w = chunk[i]["row"], chunk[i]["col"]
                 lg8 = logits8[n_flip * i : n_flip * i + n_flip,
                               : -(-vh // 8), : -(-vw // 8)]
                 for j in range(n_flip):
-                    # reference chain: stride-8 -> input size (a=True, inside
-                    # the model, deeplabv1.py:51) -> original size (a=True,
-                    # test.py:84-87)
-                    lg = up(up(lg8[j], (vh, vw)), (h, w))
-                    if j == 1:
-                        lg = lg[:, ::-1]
-                    accs[i] += lg
-        n_views = len(cfg.TEST_MULTISCALE) * n_flip
-        for i, sample in enumerate(chunk):
-            mean_logits = accs[i] / n_views
-            prob = np.exp(mean_logits - mean_logits.max(axis=-1, keepdims=True))
-            prob /= prob.sum(axis=-1, keepdims=True)
-
-            if cfg.TEST_CRF:
-                img_uint8 = dataset.load_image(sample["name"])
-                # dense_crf pins the reference's seg parameterization
-                # (bilateral sxy=32, n_iters=1 — DenseCRF.py:20-23), which
-                # differs from imutils' sxy=80 variant
-                prob = dense_crf(
-                    np.transpose(prob, (2, 0, 1)), img_uint8,
-                    n_classes=cfg.MODEL_NUM_CLASSES,
-                )
-                pred = np.argmax(prob, axis=0).astype(np.uint8)
-            else:
-                pred = np.argmax(prob, axis=-1).astype(np.uint8)
-
-            result_list.append({"name": sample["name"], "predict": pred})
-            dataset.save_result([result_list[-1]], cfg.MODEL_NAME)
+                    views.append((lg8[j], vh, vw, j == 1))
+            post_futs.append(post_pool.submit(post_image, sample, views))
+        # backpressure: keep at most ~2 chunks of post work in flight so
+        # logits/accumulator memory stays bounded on long runs
+        while len(post_futs) > 2 * batch_size:
+            post_futs.pop(0).result()
         done = min(start + batch_size, len(dataset))
         if done % 25 < batch_size:
             timer.update_progress(done / len(dataset))
             print(f"{done}/{len(dataset)}, fin: {timer.str_est_finish()}", flush=True)
 
+    for f in post_futs:
+        f.result()
     prep_pool.shutdown()
+    post_pool.shutdown()
     if args.period == "test":
         # VOC test split has no public ground truth — predictions are saved
         # for server submission only (reference behavior: save_result, no eval)

@@ -38,6 +38,7 @@ vectorizes over a leading unary axis that shares one image (aff_prepare's
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -211,8 +212,7 @@ def _grid_bilateral_factory(
     return bilateral
 
 
-@functools.lru_cache(maxsize=32)
-def make_crf(
+def _make_crf(
     image_hw: tuple[int, int],
     n_labels: int = 21,
     t: int = 10,
@@ -329,6 +329,20 @@ def make_crf(
     if masked:
         return jax.jit(wrap)
     return jax.jit(lambda unary, img: wrap(unary, img, (h, w)))
+
+
+_make_crf_cached = functools.lru_cache(maxsize=32)(_make_crf)
+_make_crf_lock = threading.Lock()
+
+
+@functools.wraps(_make_crf)
+def make_crf(*args, **kwargs):
+    # Serialize cache misses: callers fan out over host threads (aff_prepare's
+    # pipeline pool), and lru_cache does not lock misses — without this, the
+    # first few same-bucket images would each build and remote-compile a
+    # duplicate of the same program.
+    with _make_crf_lock:
+        return _make_crf_cached(*args, **kwargs)
 
 
 def _round_up(x: int, mult: int) -> int:
