@@ -76,12 +76,17 @@ struct PottsKernel {
 
 extern "C" {
 
-// unary: (H*W) x L row-major NEGATIVE log-probabilities (energy), i.e. the
-// same convention as pydensecrf's setUnaryEnergy.
+// Batched variant: A independent unary fields over the SAME image share the
+// (expensive) lattice builds — aff_prepare's 5-alpha sweep runs one lattice
+// init per image instead of five (aff_prepare.py:76-86 runs one full CRF per
+// alpha; the image, and therefore both kernels, are identical across alphas).
+//
+// unary: A x (H*W) x L row-major NEGATIVE log-probabilities (energy), i.e.
+// the same convention as pydensecrf's setUnaryEnergy.
 // rgb: H x W x 3 uint8 (may be null if bilateral_weight == 0).
-// out: (H*W) x L marginals Q.
-void wseg_densecrf_inference(
-    int H, int W, int L, const float* unary, const unsigned char* rgb,
+// out: A x (H*W) x L marginals Q.
+void wseg_densecrf_inference_multi(
+    int H, int W, int L, int A, const float* unary, const unsigned char* rgb,
     int n_iters,
     float gaussian_sxy, float gaussian_weight,
     float bilateral_sxy, float bilateral_srgb, float bilateral_weight,
@@ -115,20 +120,33 @@ void wseg_densecrf_inference(
     kernels.back().init(feat.data(), 5, n, bilateral_weight);
   }
 
-  std::vector<float> neg_unary(static_cast<size_t>(n) * L);
-  for (size_t i = 0; i < neg_unary.size(); ++i) neg_unary[i] = -unary[i];
+  const size_t nl = static_cast<size_t>(n) * L;
+  std::vector<float> neg_unary(nl), q(nl), acc(nl), tmp_in, tmp_out;
+  for (int a = 0; a < A; ++a) {
+    const float* u = unary + static_cast<size_t>(a) * nl;
+    for (size_t i = 0; i < nl; ++i) neg_unary[i] = -u[i];
 
-  std::vector<float> q(static_cast<size_t>(n) * L);
-  wseg::exp_and_normalize(q.data(), neg_unary.data(), n, L);
-
-  std::vector<float> acc(static_cast<size_t>(n) * L);
-  std::vector<float> tmp_in, tmp_out;
-  for (int it = 0; it < n_iters; ++it) {
-    std::copy(neg_unary.begin(), neg_unary.end(), acc.begin());
-    for (const auto& k : kernels) k.apply(acc.data(), q.data(), n, L, tmp_in, tmp_out);
-    wseg::exp_and_normalize(q.data(), acc.data(), n, L);
+    wseg::exp_and_normalize(q.data(), neg_unary.data(), n, L);
+    for (int it = 0; it < n_iters; ++it) {
+      std::copy(neg_unary.begin(), neg_unary.end(), acc.begin());
+      for (const auto& k : kernels)
+        k.apply(acc.data(), q.data(), n, L, tmp_in, tmp_out);
+      wseg::exp_and_normalize(q.data(), acc.data(), n, L);
+    }
+    std::copy(q.begin(), q.end(), out + static_cast<size_t>(a) * nl);
   }
-  std::copy(q.begin(), q.end(), out);
+}
+
+// Single-unary entry (the pydensecrf-shaped call).
+void wseg_densecrf_inference(
+    int H, int W, int L, const float* unary, const unsigned char* rgb,
+    int n_iters,
+    float gaussian_sxy, float gaussian_weight,
+    float bilateral_sxy, float bilateral_srgb, float bilateral_weight,
+    float* out) {
+  wseg_densecrf_inference_multi(
+      H, W, L, 1, unary, rgb, n_iters, gaussian_sxy, gaussian_weight,
+      bilateral_sxy, bilateral_srgb, bilateral_weight, out);
 }
 
 // Standalone high-dimensional Gaussian filter (for testing the lattice):

@@ -111,3 +111,24 @@ def test_dense_crf_uses_reference_seg_parameterization(monkeypatch):
     assert out.shape == (21, 8, 8)
     assert captured == dict(t=1, gs=3, gc=3, bs=32, bsr=13, bc=10,
                             n_labels=21)
+
+
+def test_multi_unary_matches_singles_bitwise():
+    """crf_inference_labels_multi shares one lattice build across A labelings
+    of the same image (aff_prepare's alpha sweep); outputs must be
+    bit-identical to A independent single calls."""
+    from wseg_tpu.ops.densecrf import crf_inference_labels_multi
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(40, 56, 3) * 255).astype(np.uint8)
+    base = rng.randint(0, 5, (40, 56)).astype(np.uint8)
+    seeds = np.stack([np.roll(base, i, axis=1) for i in range(3)])
+    multi = crf_inference_labels_multi(
+        img, seeds, t=4, n_labels=5, sxy_bilateral=80, srgb=13
+    )
+    singles = np.stack([
+        crf_inference_labels(img, s, t=4, n_labels=5, sxy_bilateral=80, srgb=13)
+        for s in seeds
+    ])
+    assert multi.shape == (3, 5, 40, 56)
+    np.testing.assert_array_equal(multi, singles)

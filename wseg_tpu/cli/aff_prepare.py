@@ -31,7 +31,7 @@ def main(argv=None):
     from concurrent.futures import ThreadPoolExecutor
 
     from wseg_tpu.data.voc12 import get_img_path, load_img_name_list
-    from wseg_tpu.infer.crf_post import crf_with_alpha, crf_with_alpha_sweep
+    from wseg_tpu.infer.crf_post import crf_with_alpha_sweep
 
     name_list = load_img_name_list(args.infer_list)
     alpha_list = [args.alpha] if args.alpha is not None else [4, 8, 16, 24, 32]
@@ -41,49 +41,41 @@ def main(argv=None):
         folders[alpha] = os.path.join(args.out_crf, "%.2f" % alpha)
         os.makedirs(folders[alpha], exist_ok=True)
 
+    # Image-major on BOTH backends: each image runs its whole alpha sweep at
+    # once, because the expensive per-image state depends only on the image
+    # and is shared across alphas — the permutohedral lattice builds on the
+    # native path (one init instead of five; bit-identical outputs), the
+    # Nystrom color features on the tpu path (one device dispatch, bucketed
+    # shape padding keeps the compile count to a handful of bucket programs).
+    # The reference runs one full corpus pass PER alpha (aff_prepare.py:76-86).
     if args.crf_backend == "tpu":
         from wseg_tpu.utils.jaxsetup import enable_compilation_cache
 
         enable_compilation_cache()
-        # image-major: each image is ONE device dispatch covering the whole
-        # alpha sweep (the alphas share the image's Nystrom color features),
-        # and bucketed shape padding keeps the compile count to a handful of
-        # bucket programs for the whole corpus (ops/crf.py). A few threads
-        # pipeline the host side: while one image's (A, 21, H, W) result
-        # downloads / saves, another thread loads and dispatches the next —
-        # device compute serializes in-stream either way. Worker count stays
-        # small to bound host memory (~80 MB of scores in flight per image).
-        def work(name):
-            cam_dict = np.load(
-                os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
-            ).item()
-            crfs = crf_with_alpha_sweep(
-                cam_dict, get_img_path(name, args.voc12_root), alpha_list,
-                t=args.crf_iters, backend="tpu",
-            )
-            for alpha, crf in zip(alpha_list, crfs):
-                np.save(os.path.join(folders[alpha], name + ".npy"), crf)
+        # A few threads pipeline the host side: while one image's
+        # (A, 21, H, W) result downloads / saves, another thread loads and
+        # dispatches the next — device compute serializes in-stream either
+        # way. Worker count stays small to bound host memory (~80 MB of
+        # scores in flight per image).
+        workers = max(min(4, args.num_workers), 1)
+    else:
+        # the native C++ path releases the GIL and fans out across threads
+        workers = max(args.num_workers, 1)
 
-        with ThreadPoolExecutor(max_workers=max(min(4, args.num_workers), 1)) as pool:
-            list(pool.map(work, name_list))
-        for alpha in alpha_list:
-            print(f"Info: Alpha {alpha} done!", flush=True)
-        return
-
-    for alpha in alpha_list:
-        def work(name, alpha=alpha, crf_folder=folders[alpha]):
-            cam_dict = np.load(
-                os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
-            ).item()
-            crf = crf_with_alpha(
-                cam_dict, get_img_path(name, args.voc12_root), alpha,
-                t=args.crf_iters, backend=args.crf_backend,
-            )
+    def work(name):
+        cam_dict = np.load(
+            os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
+        ).item()
+        crfs = crf_with_alpha_sweep(
+            cam_dict, get_img_path(name, args.voc12_root), alpha_list,
+            t=args.crf_iters, backend=args.crf_backend,
+        )
+        for alpha, crf in zip(alpha_list, crfs):
             np.save(os.path.join(folders[alpha], name + ".npy"), crf)
 
-        # the native C++ path releases the GIL and fans out across threads
-        with ThreadPoolExecutor(max_workers=max(args.num_workers, 1)) as pool:
-            list(pool.map(work, name_list))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(work, name_list))
+    for alpha in alpha_list:
         print(f"Info: Alpha {alpha} done!", flush=True)
 
 

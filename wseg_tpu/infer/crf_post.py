@@ -26,7 +26,7 @@ import os
 import numpy as np
 from PIL import Image
 
-from wseg_tpu.ops.densecrf import crf_inference_labels
+from wseg_tpu.ops.densecrf import crf_inference_labels, crf_inference_labels_multi
 
 AFF_CRF_PARAMS = dict(  # AdvCAM parameterization, aff_prepare.py:34-50
     sxy_gaussian=3, compat_gaussian=3,
@@ -100,15 +100,18 @@ def crf_with_alpha_sweep(
 
     On the tpu backend this is ONE device dispatch: the alpha seeds are
     stacked on a leading axis and the CRF shares the image's Nystrom color
-    features / kernel factors across the sweep (ops/crf.py batch=True)."""
-    if backend != "tpu":
-        return [
-            crf_with_alpha(cam_dict, img_path, a, t=t, gt_prob=gt_prob)
-            for a in alphas
-        ]
-    from wseg_tpu.ops.crf import crf_labels_tpu_batch
-
+    features / kernel factors across the sweep (ops/crf.py batch=True). On
+    the native backend the alphas share the image's permutohedral lattice
+    builds (one init per image instead of five — the lattices depend only
+    on the image), bit-identical to per-alpha calls."""
     seeds = np.stack([_alpha_seed(cam_dict, a) for a in alphas])
     img = np.array(Image.open(img_path).convert("RGB"))
+    if backend != "tpu":
+        out = crf_inference_labels_multi(
+            img, seeds, t=t, gt_prob=gt_prob, **AFF_CRF_PARAMS
+        )
+        return list(out)
+    from wseg_tpu.ops.crf import crf_labels_tpu_batch
+
     out = crf_labels_tpu_batch(img, seeds, t=t, gt_prob=gt_prob, **AFF_CRF_PARAMS)
     return list(out)

@@ -53,6 +53,14 @@ def _load_lib():
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.wseg_densecrf_inference_multi.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         lib.wseg_permutohedral_filter.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -99,6 +107,31 @@ def _inference(
     return out
 
 
+def _inference_multi(
+    unary_anl: np.ndarray, rgb: np.ndarray | None, t: int,
+    gaussian_sxy: float, gaussian_compat: float,
+    bilateral_sxy: float, bilateral_srgb: float, bilateral_compat: float,
+    h: int, w: int, n_labels: int,
+) -> np.ndarray:
+    """A independent unary fields sharing one image (and so one lattice
+    build): unary_anl is (A, H*W, L) energies, returns (A, H*W, L)
+    marginals. Bit-identical to A sequential `_inference` calls."""
+    lib = _load_lib()
+    unary_anl = np.ascontiguousarray(unary_anl, np.float32)
+    out = np.empty_like(unary_anl)
+    rgb_ptr = (
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)) if rgb is not None else None
+    )
+    lib.wseg_densecrf_inference_multi(
+        h, w, n_labels, unary_anl.shape[0], _fp(unary_anl), rgb_ptr, t,
+        ctypes.c_float(gaussian_sxy), ctypes.c_float(gaussian_compat),
+        ctypes.c_float(bilateral_sxy), ctypes.c_float(bilateral_srgb),
+        ctypes.c_float(bilateral_compat),
+        _fp(out),
+    )
+    return out
+
+
 def unary_from_labels(labels: np.ndarray, n_labels: int, gt_prob: float) -> np.ndarray:
     """(H*W, L) energy = -log P from a hard labeling (pydensecrf
     `unary_from_labels` with zero_unsure=False)."""
@@ -134,6 +167,27 @@ def crf_inference_labels(
         sxy_bilateral, srgb, compat_bilateral, h, w, n_labels,
     )
     return np.ascontiguousarray(q.T.reshape(n_labels, h, w))
+
+
+def crf_inference_labels_multi(
+    img: np.ndarray, labels_stack: np.ndarray, t: int = 10, n_labels: int = 21,
+    gt_prob: float = 0.7, sxy_gaussian: float = 3, compat_gaussian: float = 3,
+    sxy_bilateral: float = 50, srgb: float = 5, compat_bilateral: float = 10,
+) -> np.ndarray:
+    """Label-unary CRF for A labelings of ONE image, sharing the lattice
+    builds (aff_prepare's alpha sweep: same image, per-alpha seeds).
+    labels_stack: (A, H, W); returns (A, L, H, W) marginals — bit-identical
+    to A `crf_inference_labels` calls."""
+    a, h, w = labels_stack.shape
+    img = np.ascontiguousarray(img, np.uint8)
+    unary = np.stack(
+        [unary_from_labels(labels_stack[i], n_labels, gt_prob) for i in range(a)]
+    )
+    q = _inference_multi(
+        unary, img, t, sxy_gaussian, compat_gaussian,
+        sxy_bilateral, srgb, compat_bilateral, h, w, n_labels,
+    )
+    return np.ascontiguousarray(q.transpose(0, 2, 1).reshape(a, n_labels, h, w))
 
 
 def dense_crf(
