@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import functools
 import os
+import time
 
 
 def main(argv=None):
@@ -205,6 +206,12 @@ def main(argv=None):
         f.result()
     prep_pool.shutdown()
     post_pool.shutdown()
+    # steady-state end-to-end rate (TTA + fusion + CRF + save), excluding
+    # startup/compile and the eval below — the reference logs per-image
+    # progress only; this mirrors contrast_train's `imps` counter
+    elapsed = time.time() - timer.start
+    print(f"{len(dataset)} images in {elapsed:.1f}s = "
+          f"{len(dataset) / elapsed:.2f} imgs/s end-to-end", flush=True)
     if args.period == "test":
         # VOC test split has no public ground truth — predictions are saved
         # for server submission only (reference behavior: save_result, no eval)
