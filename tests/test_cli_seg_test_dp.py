@@ -118,3 +118,58 @@ def test_cli_seg_test_data_parallel_matches_exact_shapes(tmp_path):
         # exact-shape programs
         agree = (got == want).mean()
         assert agree >= 0.998, agree
+
+
+@pytest.mark.slow
+def test_cli_seg_test_pixel_cap_chunking_matches_uncapped(tmp_path, monkeypatch):
+    """A tiny MAX_TTA_PX forces every scale's dispatch through the row-chunk
+    path (cap = n_devices rows per dispatch); predictions must match the
+    single-dispatch run — the OOM-safety chunking is semantics-free."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from wseg_tpu.cli import seg_test
+    from wseg_tpu.seg.config import EXPERIMENTS
+    from wseg_tpu.seg.deeplab import generate_net
+    from wseg_tpu.utils.checkpoint import save_checkpoint
+
+    sizes = [(75, 93), (70, 90), (66, 95)]
+    root, names = _make_seg_root(tmp_path, sizes)
+
+    cfg = EXPERIMENTS["SEAM_deeplabv1_resnet38"].replace(DATA_ROOT=root)
+    model = generate_net(cfg)
+    k = jax.random.PRNGKey(0)
+    variables = dict(model.init(
+        {"params": k, "dropout": k}, jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ))
+    ckpt = str(tmp_path / "seg.ckpt")
+    save_checkpoint(ckpt, variables)
+
+    def run(sub):
+        d = tmp_path / sub
+        d.mkdir()
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            seg_test.main([
+                "--exp", "SEAM_deeplabv1_resnet38", "--data_root", root,
+                "--ckpt", ckpt, "--period", "val", "--no_crf",
+                "--batch_size", "8",
+            ])
+        finally:
+            os.chdir(cwd)
+        return {
+            n: np.array(Image.open(
+                d / "results" / "Segmentation"
+                / f"{cfg.MODEL_NAME}_val" / f"{n}.png"
+            ))
+            for n in names
+        }
+
+    whole = run("uncapped")  # batch 8 -> one 16-row dispatch per scale
+    monkeypatch.setattr(seg_test, "MAX_TTA_PX", 1)  # cap -> 8-row chunks
+    capped = run("capped")
+    for n in names:
+        agree = (capped[n] == whole[n]).mean()
+        assert agree >= 0.998, (n, agree)

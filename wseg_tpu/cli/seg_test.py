@@ -14,6 +14,14 @@ import functools
 import os
 import time
 
+# Widest measured-good TTA dispatch: 16 images (32 flip-rows) at the
+# 1.75-scale 384x512 bucket view (672x896, ROOFLINE.md 5d) — batch 32 OOMs
+# on that same shape. Any one device dispatch is capped at this many padded
+# view pixels (rows*ph*pw) and over-cap scales run as row chunks, so large
+# buckets cannot OOM at the wide default (same scheme as aff_infer's
+# MAX_WALK_PX).
+MAX_TTA_PX = 32 * 672 * 896
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
@@ -30,10 +38,11 @@ def main(argv=None):
                         "chip with the TTA)")
     parser.add_argument("--bucket", type=int, default=64)
     parser.add_argument("--batch_size", type=int, default=0,
-                        help="images per TTA batch; 0 = 8 per device "
+                        help="images per TTA batch; 0 = 16 per device "
                         "(measured 9.1/9.8/10.1 imgs/s at batch 4/8/16 on "
-                        "one chip, ROOFLINE.md 5d). With >1 local chip, "
-                        "batches shard "
+                        "one chip, ROOFLINE.md 5d; each scale's dispatch is "
+                        "pixel-capped and row-chunked so large buckets "
+                        "cannot OOM). With >1 local chip, batches shard "
                         "over a data-parallel mesh automatically (the "
                         "reference's single_gpu_test is one image on one GPU)")
     args = parser.parse_args(argv)
@@ -86,7 +95,7 @@ def main(argv=None):
         return np.einsum("oh,hwc->owc", wh, np.einsum("pw,hwc->hpc", ww, logits))
 
     n_devices = len(jax.devices())
-    batch_size = max(args.batch_size or 8 * n_devices, 1)
+    batch_size = max(args.batch_size or 16 * n_devices, 1)
     data_sharding = None
     if n_devices > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -165,6 +174,13 @@ def main(argv=None):
             # constant row count across chunks (incl. the smaller last one)
             # so every scale reuses one compiled program per (ph, pw)
             r_pad = -(-batch_size * n_flip // n_devices) * n_devices
+            # row-chunk any dispatch over the measured pixel budget (the
+            # largest scales of large buckets); rounding r_pad up to a
+            # multiple of the cap keeps every chunk the same shape, so it is
+            # still one compiled program per (ph, pw)
+            cap = max(n_devices, MAX_TTA_PX // (ph * pw) // n_devices * n_devices)
+            if r_pad > cap:
+                r_pad = -(-r_pad // cap) * cap
             batch = np.zeros((r_pad, ph, pw, 3), np.float32)
             valid = np.ones((r_pad, 2), np.int32)
             for i, im in enumerate(imgs):
@@ -177,13 +193,21 @@ def main(argv=None):
             for r in range(rows, r_pad):
                 batch[r] = batch[rows - 1]
                 valid[r] = valid[rows - 1]
-            xb, vb = jnp.asarray(batch), jnp.asarray(valid, jnp.int32)
-            if data_sharding is not None:
-                xb = jax.device_put(xb, data_sharding)
-                vb = jax.device_put(vb, data_sharding)
-            scale_outs.append(
-                (np.asarray(forward(ph, pw)(variables, xb, vb)), vhs, vws)
-            )
+
+            def dispatch(s):
+                xb = jnp.asarray(batch[s : s + cap])
+                vb = jnp.asarray(valid[s : s + cap], jnp.int32)
+                if data_sharding is not None:
+                    xb = jax.device_put(xb, data_sharding)
+                    vb = jax.device_put(vb, data_sharding)
+                return forward(ph, pw)(variables, xb, vb)
+
+            # enqueue all chunks (async dispatch), then pull — compute of
+            # chunk k overlaps the host transfer of chunk k-1
+            devs = [dispatch(s) for s in range(0, r_pad, cap)]
+            out = (np.concatenate([np.asarray(d) for d in devs])
+                   if len(devs) > 1 else np.asarray(devs[0]))
+            scale_outs.append((out, vhs, vws))
         for i, sample in enumerate(chunk):
             views = []
             for logits8, vhs, vws in scale_outs:
