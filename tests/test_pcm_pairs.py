@@ -97,6 +97,23 @@ def test_pairwise_affinity_and_dense():
     want_mat[np.arange(area), np.arange(area)] += 1.0
     np.testing.assert_allclose(got_mat, want_mat, rtol=1e-5, atol=1e-6)
 
+    # scatter-free banded construction: exactly the scatter result (the
+    # addition is a disjoint placement, so the orders cannot differ)
+    from wseg_tpu.ops.pairs import dense_affinity_matrix_banded
+
+    got_banded = np.asarray(dense_affinity_matrix_banded(aff[0], 5, (h, w)))
+    np.testing.assert_array_equal(got_banded, got_mat)
+
+    # non-square grid + clamped radius (the small-feature-map path)
+    h2, w2 = 10, 14
+    f2 = rng.randn(1, h2 * w2, cdim).astype(np.float32)
+    if2, it2 = radius_pair_indices(3, (h2, w2))
+    aff2 = np.asarray(pairwise_affinity(f2, if2, it2))
+    np.testing.assert_array_equal(
+        np.asarray(dense_affinity_matrix_banded(aff2[0], 3, (h2, w2))),
+        np.asarray(dense_affinity_matrix(aff2[0], if2, it2, h2 * w2)),
+    )
+
 
 def test_random_walk_refine():
     """Parity with aff_infer.py:105-119 on a tiny problem."""

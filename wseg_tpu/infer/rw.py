@@ -27,12 +27,18 @@ MAX_WALK_PX = 64 * 384 * 512
 
 class RandomWalkRefiner:
     def __init__(self, model, variables, beta: int = 8, logt: int = 6, bucket: int = 64,
-                 mesh=None, max_walk_px: int = MAX_WALK_PX):
+                 mesh=None, max_walk_px: int = MAX_WALK_PX,
+                 matrix_impl: str = "scatter"):
         self.model = model
         self.beta = beta
         self.logt = logt
         self.bucket = bucket
         self.max_walk_px = max_walk_px
+        # dense-matrix construction inside the batched walk program:
+        # "scatter" = .at[].add (reference's sparse to_dense semantics),
+        # "banded" = scatter-free sum of masked diagonal bands — exactly
+        # equal outputs (tests/test_pcm_pairs.py)
+        self.matrix_impl = matrix_impl
         # mesh: shard refine_batch over the `data` axis (replica-parallel
         # stage-2 inference; the reference's aff_infer is strictly one image
         # on one GPU at a time)
@@ -60,7 +66,11 @@ class RandomWalkRefiner:
         affinity forward, per-image dense matrix + walk under vmap. Outputs
         are argmax-identical to per-image `refine_one` calls (pad-halo
         invariance, tests/test_bucket_padding.py)."""
-        from wseg_tpu.ops.pairs import dense_affinity_matrix, radius_pair_indices
+        from wseg_tpu.ops.pairs import (
+            dense_affinity_matrix,
+            dense_affinity_matrix_banded,
+            radius_pair_indices,
+        )
 
         h8, w8 = ph // 8, pw // 8
         base_r = getattr(self.model, "radius", 5)
@@ -74,7 +84,10 @@ class RandomWalkRefiner:
             ind_to = jnp.asarray(ind_to_np)
 
             def one(a, cam):
-                mat = dense_affinity_matrix(a, ind_from, ind_to, h8 * w8)
+                if self.matrix_impl == "banded":
+                    mat = dense_affinity_matrix_banded(a, radius, (h8, w8))
+                else:
+                    mat = dense_affinity_matrix(a, ind_from, ind_to, h8 * w8)
                 return random_walk_refine(cam, mat, beta=self.beta, logt=self.logt)
 
             return jnp.argmax(jax.vmap(one)(aff, cams), axis=-1).astype(jnp.uint8)

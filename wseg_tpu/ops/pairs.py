@@ -93,3 +93,36 @@ def dense_affinity_matrix(
     mat = mat.at[ind_to_flat, ind_from_exp].add(vals)
     mat = mat.at[jnp.arange(area), jnp.arange(area)].add(1.0)
     return mat
+
+
+def dense_affinity_matrix_banded(
+    aff: jax.Array, radius: int, size: tuple[int, int]
+) -> jax.Array:
+    """Scatter-free equivalent of `dense_affinity_matrix` (same math, same
+    output — tests/test_pcm_pairs.py asserts exact equality).
+
+    Every pair (from, to) of displacement (dy, dx) satisfies
+    to - from == dy*w + dx, a CONSTANT per displacement — so the dense matrix
+    is a sum of |D| diagonal bands. Each band is a broadcast+select over the
+    (area, area) grid (pure VPU work XLA fuses into one pass) instead of a
+    scatter-add, which TPUs serialize. Validity needs no masks beyond the
+    values themselves: padding each displacement's (crop_h, crop_w) affinity
+    frame back to the full (h, w) grid with zeros puts 0 at every from-pixel
+    the reference's cropped frame excludes (tool/pyutils.py:135-152), and
+    in-frame pairs are in-bounds by construction.
+    """
+    h, w = size
+    area = h * w
+    offsets = search_offsets(radius)
+    rf = radius - 1
+    crop_h, crop_w = h - rf, w - 2 * rf
+    # a_pad[d, i] = affinity of the pair whose FROM pixel is flat index i
+    # (the cropped frame starts at (0, rf) in the full grid)
+    a_pad = jnp.pad(
+        aff.reshape(-1, crop_h, crop_w), ((0, 0), (0, rf), (rf, rf))
+    ).reshape(-1, area)
+    delta = jnp.arange(area)[None, :] - jnp.arange(area)[:, None]  # col - row
+    upper = jnp.zeros((area, area), aff.dtype)
+    for d, (dy, dx) in enumerate(offsets):
+        upper = upper + jnp.where(delta == dy * w + dx, a_pad[d][:, None], 0)
+    return upper + upper.T + jnp.eye(area, dtype=aff.dtype)
