@@ -25,7 +25,9 @@ def test_cross_entropy_ignore_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["deeplabv1", "deeplabv2", "deeplabv3", "deeplabv3plus"])
+@pytest.mark.parametrize(
+    "name", ["deeplabv1", "deeplabv1_caffe", "deeplabv2", "deeplabv3", "deeplabv3plus"]
+)
 def test_deeplab_heads_forward(name):
     cfg = SegConfig(MODEL_NAME=name, MODEL_BACKBONE="resnet50",
                     MODEL_ASPP_OUTDIM=64, MODEL_ASPP_HASGLOBAL=True)

@@ -133,6 +133,73 @@ def test_deeplabv1_resnet38_matches_reference(ref_seg):
     np.testing.assert_array_equal(got.argmax(1), want.argmax(1))
 
 
+@pytest.mark.slow
+def test_deeplabv1_caffe_matches_reference(ref_seg):
+    """The registered-but-unused `deeplabv1_caffe` variant (deeplabv1.py:72-
+    130): maxpool head, 4096-wide biased convs without BN, double dropout.
+    Same literal-reference oracle recipe as the deeplabv1 test; also asserts
+    the variant's param grouping (from_scratch_layers = [cls_conv] only,
+    deeplabv1.py:88) through seg_param_labels(scratch_mods=FROM_SCRATCH)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wseg_tpu.seg.config import SegConfig
+    from wseg_tpu.seg.deeplab import DeepLabV1Caffe, generate_net, seg_param_labels
+    from wseg_tpu.utils.checkpoint import merge_params
+
+    builder = importlib.import_module("net.backbone.builder")
+    orig = builder.build_backbone
+    # the caffe ctor calls build_backbone(name, os=...) whose default
+    # pretrained=True would dereference the missing mxnet weight path
+    ref_seg.build_backbone = lambda name, **kw: orig(name, pretrained=False)
+    try:
+        torch.manual_seed(3)
+        cfg_t = SimpleNamespace(
+            MODEL_BACKBONE="resnet38", MODEL_OUTPUT_STRIDE=8,
+            MODEL_NUM_CLASSES=21,
+        )
+        tmodel = ref_seg.deeplabv1_caffe(cfg_t)
+    finally:
+        ref_seg.build_backbone = orig
+    _randomize_bn(tmodel)
+    tmodel.eval()
+
+    rng = np.random.RandomState(4)
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+
+    cfg = SegConfig(MODEL_NAME="deeplabv1_caffe", MODEL_BACKBONE="resnet38")
+    model = generate_net(cfg)
+    assert isinstance(model, DeepLabV1Caffe)
+    k = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": k, "dropout": k}, jnp.zeros((1, 64, 96, 3), jnp.float32)
+    )
+    params, stats = _convert_seg_state_dict(tmodel.state_dict())
+    variables = {
+        "params": merge_params(variables["params"], params),
+        "batch_stats": merge_params(variables["batch_stats"], stats),
+    }
+    got = np.asarray(
+        jax.jit(lambda v, a: model.apply(v, a))(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+        )
+    ).transpose(0, 3, 1, 2)
+
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-8)
+    assert rel < 5e-3, rel
+    np.testing.assert_array_equal(got.argmax(1), want.argmax(1))
+
+    # param grouping: conv_fov/conv_fov2 are PRETRAINED for this variant
+    labels = seg_param_labels(variables["params"], scratch_mods=model.FROM_SCRATCH)
+    assert labels["conv_fov"] == {"kernel": "pretrained_w", "bias": "pretrained_b"}
+    assert labels["conv_fov2"] == {"kernel": "pretrained_w", "bias": "pretrained_b"}
+    assert labels["cls_conv"] == {"kernel": "scratch_w", "bias": "scratch_b"}
+    # ...unlike deeplabv1, whose head convs are all scratch (deeplabv1.py:28)
+    assert seg_param_labels(variables["params"])["conv_fov"]["kernel"] == "scratch_w"
+
+
 def _convert_dilated_resnet_sd(sd: dict):
     """Reference deeplabv2 (dilated torch ResNet backbone + ASPP) state_dict
     -> (params, batch_stats) for our DeepLabV2. Name map: Sequential deep_base

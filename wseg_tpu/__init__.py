@@ -16,7 +16,7 @@ Design is TPU-first: Flax models under jit/pjit over a `jax.sharding.Mesh`
 reference's dynamic-shape losses, and Pallas kernels for the hot ops.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # kept in sync with pyproject.toml
 
 
 def __getattr__(name):

@@ -130,7 +130,9 @@ def main(argv=None):
     tx = poly_sgd(
         cfg.TRAIN_LR, cfg.TRAIN_WEIGHT_DECAY, max_step=max_itr + 1,
         power=cfg.TRAIN_POWER, momentum=cfg.TRAIN_MOMENTUM,
-        labels=seg_param_labels(params),
+        labels=seg_param_labels(
+            params, scratch_mods=getattr(type(model), "FROM_SCRATCH", None)
+        ),
     )
     state = SegTrainState(params, tx.init(params), batch_stats, rng)
 

@@ -157,6 +157,61 @@ class DeepLabV1(nn.Module):
         return resize_bilinear(out, (h, w), align_corners=True)
 
 
+@MODELS.register("deeplabv1_caffe")
+class DeepLabV1Caffe(nn.Module):
+    """deeplabv1.py:72-130 (`deeplabv1_caffe`): maxpool 3x3 s1 p1 on the
+    backbone output, conv_fov 3x3 d12 -> 4096 (bias, no BN), dropout 0.5,
+    conv_fov2 1x1 -> 4096, dropout 0.5, cls_conv, bilinear up
+    (align_corners=True). Registered-but-unused by the reference experiment
+    presets (like PPM); provided for registry parity. Its
+    `from_scratch_layers` is only [cls_conv] (deeplabv1.py:88) — conv_fov /
+    conv_fov2 join the PRETRAINED param groups, unlike deeplabv1
+    (deeplabv1.py:28) — see FROM_SCRATCH / seg_param_labels."""
+
+    cfg: SegConfig
+    FROM_SCRATCH = ("cls_conv",)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, valid_hw=None, raw_logits: bool = False):
+        """See DeepLabV1.__call__ for valid_hw / raw_logits semantics."""
+        n, h, w, _ = x.shape
+        cfg = self.cfg
+        backbone = build_backbone(cfg.MODEL_BACKBONE, bn_mom=cfg.TRAIN_BN_MOM)
+        bb_kwargs = {} if valid_hw is None else {"valid_hw": valid_hw}
+        feats = type(backbone)(name="backbone", **_attrs(backbone))(
+            x, train=train, **bb_kwargs)
+        bottom = feats[-1]
+        m8 = _mask_for(valid_hw, (h, w), bottom.shape[1:3],
+                       backbone.feature_strides[-1])
+        if m8 is None:
+            f = nn.max_pool(bottom, (3, 3), strides=(1, 1), padding="SAME")
+        else:
+            # torch MaxPool2d pads with -inf; forcing the bucketed pad halo
+            # to the same identity (then re-zeroing it) makes valid outputs
+            # exactly equal the exact-shape forward for any backbone sign
+            neg = jnp.finfo(bottom.dtype).min
+            f = nn.max_pool(jnp.where(m8 > 0, bottom, neg),
+                            (3, 3), strides=(1, 1), padding="SAME")
+            f = jnp.where(m8 > 0, f, 0.0)
+        f = _apply(jax.nn.relu(
+            conv(4096, 3, dilation=12, padding=12, use_bias=True,
+                 name="conv_fov")(f)), m8)
+        if train:
+            keep = 0.5
+            dmask = jax.random.bernoulli(self.make_rng("dropout"), keep, f.shape)
+            f = jnp.where(dmask, f / keep, 0.0)
+        f = _apply(jax.nn.relu(
+            conv(4096, 1, use_bias=True, name="conv_fov2")(f)), m8)
+        if train:
+            keep = 0.5
+            dmask = jax.random.bernoulli(self.make_rng("dropout"), keep, f.shape)
+            f = jnp.where(dmask, f / keep, 0.0)
+        out = conv(cfg.MODEL_NUM_CLASSES, 1, use_bias=True, name="cls_conv")(f)
+        if raw_logits:
+            return out
+        return resize_bilinear(out, (h, w), align_corners=True)
+
+
 @MODELS.register("deeplabv2")
 class DeepLabV2(nn.Module):
     """deeplabv2.py:40-59: ASPP rates [6,12,18,24] -> dropout -> cls_conv."""
@@ -291,11 +346,16 @@ def generate_net(cfg: SegConfig) -> nn.Module:
     return MODELS.get(cfg.MODEL_NAME)(cfg=cfg)
 
 
-def seg_param_labels(params: dict) -> dict:
+def seg_param_labels(params: dict, scratch_mods: tuple | None = None) -> dict:
     """Param-group labels for stage-3 (deeplabv1.py:53-69 + seg train.py:71-80):
     conv weights/biases only; backbone = pretrained groups, head convs =
     scratch groups; BN affine never optimized (not collected by the
-    reference's get_parameter_groups)."""
+    reference's get_parameter_groups).
+
+    `scratch_mods`: module names of the net's `from_scratch_layers` when they
+    are NOT all the head convs — deeplabv1_caffe collects only cls_conv
+    (deeplabv1.py:88), so its conv_fov/conv_fov2 take the pretrained lr/wd
+    groups (pass the net class's FROM_SCRATCH)."""
 
     def walk(tree, path):
         if isinstance(tree, dict):
@@ -307,7 +367,10 @@ def seg_param_labels(params: dict) -> dict:
             return "frozen"
         in_backbone = mods and mods[0] == "backbone"
         is_bias = leaf == "bias"
-        if in_backbone:
+        scratch = not in_backbone and (
+            scratch_mods is None or any(m in scratch_mods for m in mods)
+        )
+        if not scratch:
             return "pretrained_b" if is_bias else "pretrained_w"
         return "scratch_b" if is_bias else "scratch_w"
 
