@@ -62,6 +62,10 @@ def main():
     parser.add_argument("--fused_pcm", action="store_true",
                         help="route PCM through the fused Pallas kernel")
     parser.add_argument("--skip_reference_style", action="store_true")
+    parser.add_argument("--baseline_reps", type=int, default=12,
+                        help="repetitions of the reference-style baseline "
+                        "(>=12 for a phase-robust per-image median; the CPU "
+                        "smoke test drops it to 1)")
     parser.add_argument("--cache_dir", default="/tmp/jax_bench_cache")
     args = parser.parse_args()
 
@@ -210,7 +214,7 @@ def main():
         # hostage to run-level relay phase (each rep crosses 8*batch relay
         # RTTs); the per-image median isolates the model's typical cost from
         # the relay's outliers, which is the honest denominator.
-        for _ in range(max(args.iters, 12)):
+        for _ in range(max(args.baseline_reps, 1)):
             t0 = time.perf_counter()
             run_reference_style(ref_img_s)
             ref_rep_s.append(time.perf_counter() - t0)
