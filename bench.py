@@ -7,9 +7,10 @@ at original resolution (contrast_infer.py:38-80 semantics).
 
 vs_baseline is measured ON THE SAME CHIP against a faithful re-creation of
 the reference's execution model: one device call per view, sequential, with
-per-view host sync and host-side upsample+fusion — what the reference's
-per-image Python thread fan-out over replicas (contrast_infer.py:58-71) does
-on one accelerator. Our number is the fused pipeline (`make_fused_msf_fn`):
+per-view host sync, then the reference's literal per-image HOST numpy fusion
+(per-view label-mask+flip, 8-view sum, clamp, min/max normalize,
+contrast_infer.py:63-81) — what the reference's per-image Python thread
+fan-out over replicas (contrast_infer.py:58-71) does on one accelerator. Our number is the fused pipeline (`make_fused_msf_fn`):
 per-scale batched programs with device-side upsample/flip/fusion, timed in
 steady state (batches in flight back to back, one terminal sync) the way the
 CLI's prefetching dispatch loop actually runs.
@@ -80,9 +81,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from wseg_tpu.infer.cam import DEFAULT_SCALES, _np_upsample, make_fused_msf_fn
+    from wseg_tpu.infer.cam import DEFAULT_SCALES, make_fused_msf_fn
     from wseg_tpu.models import build_model
-    from wseg_tpu.ops.cam import fuse_msf_cams
 
     if args.mode == "train":
         return bench_train(args)
@@ -181,26 +181,45 @@ def main():
             float(chk)  # per-view host sync, like the reference's .cpu()
             return cam
 
-        fuse_ref = jax.jit(
-            lambda cams, lbl: jnp.sum(
-                fuse_msf_cams(
-                    jnp.transpose(sum(cams[1:], cams[0])[0] * lbl[None, None, :], (2, 0, 1))
-                ).astype(jnp.float32)
-            )
-        )
+        # Per-image fusion runs on the HOST in the reference — per-view
+        # label-mask + np.flip, 8-view sum, clamp, min/max normalize
+        # (contrast_infer.py:63-81) — so the baseline charges that literal
+        # numpy math per image. The device->host cam transfer that precedes
+        # it is still excluded (pathological over this relay; ~8 ms on real
+        # PCIe for 8 x 15.7 MB), so the fusion runs on pre-staged stand-in
+        # arrays of the exact shape/dtype: dense numpy wall time is
+        # shape-bound, not value-bound. The fused path does the equivalent
+        # fusion ON DEVICE inside its measured time, so both sides are
+        # timed to a cam-dict-ready result.
+        host_cams = [rng.rand(20, h0, w0).astype(np.float32) for _ in range(8)]
+        label_host = (rng.rand(20) > 0.5).astype(np.float32).reshape(20, 1, 1)
+
+        def host_fuse():
+            cam_list = []
+            for i, hc in enumerate(host_cams):
+                cam = hc * label_host
+                if i % 2 == 1:
+                    cam = np.flip(cam, axis=-1)
+                cam_list.append(cam)
+            sum_cam = np.sum(cam_list, axis=0)
+            sum_cam[sum_cam < 0] = 0
+            cam_max = np.max(sum_cam, (1, 2), keepdims=True)
+            cam_min = np.min(sum_cam, (1, 2), keepdims=True)
+            sum_cam[sum_cam < cam_min + 1e-5] = 0
+            return (sum_cam - cam_min - 1e-5) / (cam_max - cam_min + 1e-5)
+
+        host_fuse_s = []
 
         def run_reference_style(img_s=None):
             for bi in range(b):
                 t0 = time.perf_counter()
-                cams = []
                 for si in range(len(DEFAULT_SCALES)):
                     vh, vw = views[si].shape[2:4]
                     for fi in range(2):
-                        cam = fwd_sync(views[si][bi, fi][None], vh, vw)
-                        if fi == 1:
-                            cam = cam[:, :, ::-1]
-                        cams.append(cam)
-                float(fuse_ref(cams, label[bi]))
+                        fwd_sync(views[si][bi, fi][None], vh, vw)
+                tf = time.perf_counter()
+                host_fuse()
+                host_fuse_s.append(time.perf_counter() - tf)
                 if img_s is not None:
                     img_s.append(time.perf_counter() - t0)
 
@@ -249,17 +268,26 @@ def main():
             "relay_rtt_ms": _spread([r * 1000 for r in rtt_s]),
             "physical_ceiling_ips": round(ceiling_ips, 1),
             "pct_of_physical_ceiling": round(fused_ips / ceiling_ips * 100, 1),
+            "host_fuse_ms": _spread([s * 1000 for s in host_fuse_s])
+            if host_fuse_s else None,
             "transfer_note": "baseline syncs per view via scalar checksum; "
             "with the reference's per-view bulk cam transfers it measures "
             "~0.017 i/s on this relay (100x slower), which would overstate "
-            "the speedup",
+            "the speedup. The reference's per-image HOST fusion "
+            "(contrast_infer.py:63-81: per-view label-mask+flip, 8-view "
+            "sum, clamp, min/max norm) IS charged, on pre-staged "
+            "stand-in arrays (numpy wall time is shape-bound); "
+            "detail.host_fuse_ms records it. The fused path performs the "
+            "same fusion on device inside its measured time, so both "
+            "sides are timed to a cam-dict-ready result",
             "ratio_band_note": "the fused value reproduces to 0.03% across "
-            "runs; the baseline pays 9 relay round trips per image, so "
-            "vs_baseline moves with the relay's latency phase — measured "
-            "band 4.999-5.353 over four full runs (ROOFLINE.md 5b-3); "
-            "detail.relay_rtt_ms records this run's phase in-run; the "
-            "16.7 i/s physical ceiling (11.76 TFLOP/img at 197 TFLOP/s "
-            "bf16 peak) is derived in ROOFLINE.md 3",
+            "runs; the baseline pays 8 relay round trips per image, so "
+            "vs_baseline moves with the relay's latency phase (measured "
+            "band 4.96-5.35 over five runs under the pre-host-fusion "
+            "definition, ROOFLINE.md 5b-3/5b-4); detail.relay_rtt_ms "
+            "records this run's phase in-run; the 16.7 i/s physical "
+            "ceiling (11.76 TFLOP/img at 197 TFLOP/s bf16 peak) is "
+            "derived in ROOFLINE.md 3",
         },
     }
     print(json.dumps(result))
