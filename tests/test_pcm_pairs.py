@@ -115,6 +115,20 @@ def test_pairwise_affinity_and_dense():
     )
 
 
+def test_pairwise_affinity_sliced_matches_gather():
+    """The slice-based formulation (no (N, D, P, C) gather temp) is exactly
+    the gather formulation — same pairs, same op order."""
+    from wseg_tpu.ops.pairs import pairwise_affinity_sliced
+
+    rng = np.random.RandomState(3)
+    for radius, (h, w) in [(5, (12, 16)), (3, (10, 14)), (5, (11, 11))]:
+        f = rng.randn(2, h, w, 6).astype(np.float32)
+        ind_from, ind_to = radius_pair_indices(radius, (h, w))
+        want = np.asarray(pairwise_affinity(f.reshape(2, h * w, 6), ind_from, ind_to))
+        got = np.asarray(pairwise_affinity_sliced(f, radius))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_random_walk_refine():
     """Parity with aff_infer.py:105-119 on a tiny problem."""
     rng = np.random.RandomState(2)

@@ -26,15 +26,15 @@ def main(argv=None):
     parser.add_argument("--bg_score", default=0.27, type=float)
     parser.add_argument("--bucket", default=64, type=int)
     parser.add_argument("--batch_size", default=0, type=int,
-                        help="images per refine_batch call; 0 = 64 per "
+                        help="images per refine_batch call; 0 = 96 per "
                         "device (the walk's dependent small-matmul chain is "
-                        "latency-bound: measured 27 -> 90 -> 99 -> 107 "
-                        "imgs/s at batch 1/16/32/64 on one chip, ROOFLINE.md "
-                        "5d). Names are pre-grouped by bucket shape and each "
-                        "bucket's dispatch is capped at the walk's pixel "
-                        "budget (64*384*512), so 512x512 buckets run at 48 "
-                        "and nothing OOMs on mixed sizes. With "
-                        ">1 local chip, batches also shard over a "
+                        "latency-bound: measured 27 -> 90 -> 99 -> 115 -> "
+                        "118 imgs/s at batch 1/16/32/64/96 on one chip, "
+                        "ROOFLINE.md 5d). Names are pre-grouped by bucket "
+                        "shape and each bucket's dispatch is capped at the "
+                        "walk's pixel budget (96*384*512), so 512x512 "
+                        "buckets run at 72 and nothing OOMs on mixed sizes. "
+                        "With >1 local chip, batches also shard over a "
                         "data-parallel mesh (the reference refines one "
                         "image on one GPU at a time)")
     args = parser.parse_args(argv)
@@ -69,7 +69,7 @@ def main(argv=None):
         }
 
     n_devices = len(jax.devices())
-    batch_size = args.batch_size or 64 * n_devices
+    batch_size = args.batch_size or 96 * n_devices
     mesh = None
     if n_devices > 1:
         from wseg_tpu.parallel.mesh import make_mesh

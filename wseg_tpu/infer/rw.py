@@ -17,12 +17,15 @@ import numpy as np
 from wseg_tpu.ops.random_walk import random_walk_refine
 
 
-# Per-dispatch pixel budget for the batched walk: the pair-gather temp
-# scales with b*ph*pw (f32[b*pairs, 128, 448] at 384x512 — ROOFLINE.md 5d).
-# b64 at 384x512 is the measured-good working set (107.5 imgs/s, +9% over
-# b32) while b96 OOMs, so any one dispatch is capped at 64*384*512 padded
-# pixels; larger buckets get proportionally smaller chunks (512x512 -> b48).
-MAX_WALK_PX = 64 * 384 * 512
+# Per-dispatch pixel budget for the batched walk. With the slice-based pair
+# affinities (no (N, D, P, C) gather temp in HBM, ops/pairs.py:
+# pairwise_affinity_sliced) the HBM wall moved from the feature gather to the
+# per-image dense (hw x hw) walk matrices: b96 at 384x512 is the measured-good
+# working set (118.5 imgs/s vs 114.7 at b64, ROOFLINE.md 5d) while b128 OOMs
+# on the transition-matrix temps, so any one dispatch is capped at 96*384*512
+# padded pixels; larger buckets get proportionally smaller chunks
+# (512x512 -> b72).
+MAX_WALK_PX = 96 * 384 * 512
 
 
 class RandomWalkRefiner:

@@ -17,13 +17,22 @@ from flax import linen as nn
 
 from wseg_tpu.models.layers import conv, xavier_uniform
 from wseg_tpu.models.resnet38 import ResNet38
-from wseg_tpu.ops.pairs import dense_affinity_matrix, pairwise_affinity, radius_pair_indices
+from wseg_tpu.ops.pairs import (
+    dense_affinity_matrix,
+    pairwise_affinity,
+    pairwise_affinity_sliced,
+    radius_pair_indices,
+)
 from wseg_tpu.utils.registry import MODELS
 
 
 @MODELS.register("affinity")
 class AffinityNet(nn.Module):
     radius: int = 5
+    # "sliced" computes the pair affinities from static shifted slices (no
+    # (N, D, P, C) gather temp in HBM — identical output, ROOFLINE.md §5d);
+    # "gather" keeps the jnp.take formulation of network/resnet38_aff.py:57-63.
+    pair_impl: str = "sliced"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False, to_dense: bool = False):
@@ -38,13 +47,21 @@ class AffinityNet(nn.Module):
         n, h, w, c = f.shape
         min_edge = min(h, w)
         radius = (min_edge - 1) // 2 if min_edge < self.radius * 2 + 1 else self.radius
-        ind_from_np, ind_to_np = radius_pair_indices(radius, (h, w))
-        ind_from = jnp.asarray(ind_from_np)
-        ind_to = jnp.asarray(ind_to_np)
 
-        aff = pairwise_affinity(f.reshape(n, h * w, c), ind_from, ind_to)  # (N, D, P)
+        if self.pair_impl == "sliced":
+            aff = pairwise_affinity_sliced(f, radius)  # (N, D, P)
+        else:
+            ind_from_np, ind_to_np = radius_pair_indices(radius, (h, w))
+            aff = pairwise_affinity(
+                f.reshape(n, h * w, c),
+                jnp.asarray(ind_from_np),
+                jnp.asarray(ind_to_np),
+            )
 
         if to_dense:
             assert n == 1, "dense affinity matrix is per-image"
-            return dense_affinity_matrix(aff[0], ind_from, ind_to, h * w)
+            ind_from_np, ind_to_np = radius_pair_indices(radius, (h, w))
+            return dense_affinity_matrix(
+                aff[0], jnp.asarray(ind_from_np), jnp.asarray(ind_to_np), h * w
+            )
         return aff

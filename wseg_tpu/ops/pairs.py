@@ -79,6 +79,40 @@ def pairwise_affinity(
     return jnp.exp(-jnp.abs(ft - ff[:, None]).mean(axis=-1))
 
 
+def pairwise_affinity_sliced(f_nhwc: jax.Array, radius: int) -> jax.Array:
+    """Slice-based equivalent of `pairwise_affinity` — identical output
+    (tests/test_pcm_pairs.py asserts exact equality).
+
+    The gather formulation materializes the (N, D, P, C) `f[ind_to]` temp in
+    HBM (9.6 GB at the stage-2 walk's measured-good b64, and the OOM wall at
+    b96 — ROOFLINE.md §5d). Every displacement's `ind_to` frame is a static
+    shifted window of the feature map, so the same pairs are reachable by
+    `lax.slice`; XLA then fuses the subtract/abs/mean-over-C reduction into
+    each slice and only (N, crop_h, crop_w) per displacement ever exists.
+
+    f_nhwc: (N, H, W, C) feature map. Returns (N, D, P) in the same
+    displacement/pixel order as `pairwise_affinity` over
+    `radius_pair_indices(radius, (H, W))`.
+    """
+    n, h, w, c = f_nhwc.shape
+    offsets = search_offsets(radius)
+    rf = radius - 1
+    ch, cw = h - rf, w - 2 * rf
+    ff = jax.lax.slice(f_nhwc, (0, 0, rf, 0), (n, ch, rf + cw, c))
+    affs = [
+        jnp.exp(
+            -jnp.abs(
+                jax.lax.slice(
+                    f_nhwc, (0, dy, rf + dx, 0), (n, dy + ch, rf + dx + cw, c)
+                )
+                - ff
+            ).mean(axis=-1)
+        )
+        for dy, dx in offsets
+    ]
+    return jnp.stack(affs, axis=1).reshape(n, len(offsets), ch * cw)
+
+
 def dense_affinity_matrix(
     aff: jax.Array, ind_from: jax.Array, ind_to: jax.Array, area: int
 ) -> jax.Array:
