@@ -151,3 +151,70 @@ def test_random_walk_refine():
     cam_rw = torch.nn.Upsample((h, w), mode="bilinear")(cam_rw)
     want = cam_rw[0].permute(1, 2, 0).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_sliced_small_radius_raises_like_gather():
+    # ADVICE r3: the sliced path must reject radius<2 with the same
+    # explanatory error as radius_pair_indices, not an opaque stack failure
+    import jax.numpy as jnp
+    import pytest
+
+    from wseg_tpu.ops.pairs import pairwise_affinity_sliced, radius_pair_indices
+
+    f = jnp.zeros((1, 4, 4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="empty pair set"):
+        pairwise_affinity_sliced(f, 1)
+    with pytest.raises(ValueError, match="empty pair set"):
+        radius_pair_indices(1, (4, 4))
+
+
+def test_refiner_gather_pair_impl_lowers_pixel_budget():
+    # ADVICE r3: a gather-built model re-materializes the 9.6 GB pair temp;
+    # the refiner must drop to the measured-safe gather budget by default
+    from wseg_tpu.infer.rw import (
+        MAX_WALK_PX,
+        MAX_WALK_PX_GATHER,
+        RandomWalkRefiner,
+    )
+    from wseg_tpu.models import build_model
+
+    sliced = RandomWalkRefiner(build_model("affinity"), {})
+    gather = RandomWalkRefiner(build_model("affinity", pair_impl="gather"), {})
+    override = RandomWalkRefiner(
+        build_model("affinity", pair_impl="gather"), {}, max_walk_px=123
+    )
+    assert sliced.max_walk_px == MAX_WALK_PX
+    assert gather.max_walk_px == MAX_WALK_PX_GATHER
+    assert override.max_walk_px == 123
+
+
+def test_random_walk_bf16_chain_tracks_f32():
+    # the bf16 matrix-power option (ops/random_walk.py compute_dtype) stays
+    # within a bounded envelope of f32 — measured on this synthetic config:
+    # dense random affinity rel 10.0% / flip 1.9%; band-limited (walk-like,
+    # radius-3 pair structure) rel 3.1% / flip 3.4%. These flip rates are
+    # why bf16 is NOT the default (ROOFLINE.md 5d records the chip-side
+    # promote/demote measurement); this test pins the option's behavior.
+    import jax.numpy as jnp
+
+    from wseg_tpu.ops.pairs import radius_pair_indices
+
+    rng = np.random.RandomState(7)
+    h = w = 64
+    dh = dw = h // 8
+    cam = rng.rand(h, w, 21).astype(np.float32)
+
+    indf, indt = radius_pair_indices(3, (dh, dw))
+    vals = rng.rand(len(indt) // len(indf), len(indf)).astype(np.float32)
+    aff = np.asarray(dense_affinity_matrix(vals, indf, indt, dh * dw))
+
+    f32 = np.asarray(random_walk_refine(cam, aff, beta=8, logt=6))
+    bf16 = np.asarray(
+        random_walk_refine(cam, aff, beta=8, logt=6, compute_dtype=jnp.bfloat16)
+    )
+    rel = np.abs(bf16 - f32).max() / (np.abs(f32).max() + 1e-12)
+    assert rel < 0.15, rel
+    flip = (bf16.argmax(-1) != f32.argmax(-1)).mean()
+    assert flip < 0.08, flip
+    # and the chain is not degenerate (bf16 actually computed a walk)
+    assert np.isfinite(bf16).all() and bf16.max() > 0

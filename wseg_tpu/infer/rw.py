@@ -24,18 +24,30 @@ from wseg_tpu.ops.random_walk import random_walk_refine
 # working set (118.5 imgs/s vs 114.7 at b64, ROOFLINE.md 5d) while b128 OOMs
 # on the transition-matrix temps, so any one dispatch is capped at 96*384*512
 # padded pixels; larger buckets get proportionally smaller chunks
-# (512x512 -> b72).
+# (512x512 -> b72). This budget assumes pair_impl="sliced"; a model built
+# with pair_impl="gather" re-materializes the 9.6 GB gather temp at b96, so
+# RandomWalkRefiner drops to MAX_WALK_PX_GATHER (the measured-safe gather
+# ceiling, b64 at 384x512) unless the caller overrides max_walk_px.
 MAX_WALK_PX = 96 * 384 * 512
+MAX_WALK_PX_GATHER = 64 * 384 * 512
 
 
 class RandomWalkRefiner:
     def __init__(self, model, variables, beta: int = 8, logt: int = 6, bucket: int = 64,
                  mesh=None, max_walk_px: int = MAX_WALK_PX,
-                 matrix_impl: str = "scatter"):
+                 matrix_impl: str = "scatter", walk_dtype=None):
         self.model = model
         self.beta = beta
         self.logt = logt
         self.bucket = bucket
+        # walk_dtype=jnp.bfloat16 runs the T^(2^logt) squaring chain in bf16
+        # (ops/random_walk.py); None = f32 (reference parity default)
+        self.walk_dtype = walk_dtype
+        if (
+            max_walk_px == MAX_WALK_PX
+            and getattr(model, "pair_impl", "sliced") == "gather"
+        ):
+            max_walk_px = MAX_WALK_PX_GATHER
         self.max_walk_px = max_walk_px
         # dense-matrix construction inside the batched walk program:
         # "scatter" = .at[].add (reference's sparse to_dense semantics),
@@ -59,7 +71,8 @@ class RandomWalkRefiner:
 
         def f(variables, img, cam):
             aff_mat = self.model.apply(variables, img[None], to_dense=True)
-            return random_walk_refine(cam, aff_mat, beta=self.beta, logt=self.logt)
+            return random_walk_refine(cam, aff_mat, beta=self.beta, logt=self.logt,
+                                      compute_dtype=self.walk_dtype)
 
         return jax.jit(f)
 
@@ -91,7 +104,8 @@ class RandomWalkRefiner:
                     mat = dense_affinity_matrix_banded(a, radius, (h8, w8))
                 else:
                     mat = dense_affinity_matrix(a, ind_from, ind_to, h8 * w8)
-                return random_walk_refine(cam, mat, beta=self.beta, logt=self.logt)
+                return random_walk_refine(cam, mat, beta=self.beta, logt=self.logt,
+                                          compute_dtype=self.walk_dtype)
 
             return jnp.argmax(jax.vmap(one)(aff, cams), axis=-1).astype(jnp.uint8)
 

@@ -95,6 +95,11 @@ def pairwise_affinity_sliced(f_nhwc: jax.Array, radius: int) -> jax.Array:
     `radius_pair_indices(radius, (H, W))`.
     """
     n, h, w, c = f_nhwc.shape
+    if radius < 2:
+        raise ValueError(
+            f"radius {radius} yields an empty pair set; the affinity head "
+            f"needs a feature map with min edge >= 5 (input min edge >= 40)"
+        )
     offsets = search_offsets(radius)
     rf = radius - 1
     ch, cw = h - rf, w - 2 * rf
