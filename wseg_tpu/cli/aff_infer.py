@@ -37,6 +37,11 @@ def main(argv=None):
                         "With >1 local chip, batches also shard over a "
                         "data-parallel mesh (the reference refines one "
                         "image on one GPU at a time)")
+    parser.add_argument("--walk_dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="matrix-power chain dtype; bfloat16 halves the "
+                        "walk's HBM traffic (argmax flip rate measured in "
+                        "ROOFLINE.md 5d; float32 is reference parity)")
     args = parser.parse_args(argv)
 
     import imageio
@@ -79,6 +84,7 @@ def main(argv=None):
     refiner = RandomWalkRefiner(
         model, variables, beta=args.beta, logt=args.logt, bucket=args.bucket,
         mesh=mesh,
+        walk_dtype=jnp.bfloat16 if args.walk_dtype == "bfloat16" else None,
     )
     normalize = Normalize()
     name_list = load_img_name_list(args.infer_list)
