@@ -1,0 +1,165 @@
+"""Full-schedule stage-1 soak + resume-equivalence ON THE CHIP
+(VERDICT r3 item 7).
+
+Runs the real ~8-epoch stage-1 schedule (reference step count, real 448/128
+shapes, bf16 mixed precision) on synthetic data and asserts:
+  * no NaN/OOM across the full step count,
+  * throughput stable (last-epoch imps within 20% of the best epoch),
+  * a run killed after epoch k (--stop_after_epoch) and `--resume`d
+    reproduces the uninterrupted run's final params BIT-EXACTLY
+    (the CPU-scale version of this protocol is
+    tests/test_resume_equivalence.py; this one survives a real schedule).
+
+Disk/time economics: the corpus is `--unique` distinct jpgs with the train
+list repeating names until the reference's 10582 samples/epoch, so the STEP
+COUNT and shapes are the reference schedule without writing 10k jpgs.
+
+Run (sole TPU process!):  python scripts/soak_stage1.py --work /tmp/soak
+Smoke mode (CI-sized):    python scripts/soak_stage1.py --unique 16 \
+    --samples_per_epoch 32 --epochs 4 --kill_after 2 --batch 4 --crop 64 \
+    --min_long 64 --max_long 80 --low_res 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_corpus(work, unique, samples_per_epoch, seed=0):
+    import numpy as np
+    from PIL import Image
+
+    root = os.path.join(work, "VOC2012")
+    os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(root, "Annotations"), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    cats = ["dog", "cat", "bird", "person", "car"]
+    names = []
+    for i in range(unique):
+        # VOC-like size spread (long edge 330-500)
+        long = int(rng.randint(330, 501))
+        short = int(long * rng.uniform(0.6, 1.0))
+        h, w = (long, short) if rng.rand() < 0.5 else (short, long)
+        img = rng.randint(60, 200, (h, w, 3)).astype(np.uint8)
+        hh, ww = h // 3, w // 3
+        y, x = rng.randint(0, h - hh), rng.randint(0, w - ww)
+        img[y : y + hh, x : x + ww] = rng.randint(0, 255, 3)
+        name = f"2012_{i:06d}"
+        names.append(name)
+        Image.fromarray(img).save(
+            os.path.join(root, "JPEGImages", name + ".jpg"), quality=92
+        )
+        open(os.path.join(root, "Annotations", name + ".xml"), "w").write(
+            f"<annotation><object><name>{cats[i % len(cats)]}</name>"
+            "</object></annotation>"
+        )
+    lst = os.path.join(work, "train.txt")
+    with open(lst, "w") as f:
+        for j in range(samples_per_epoch):
+            f.write(names[j % unique] + "\n")
+    return root, lst
+
+
+def run_train(work, session, root, lst, args, extra):
+    cmd = [
+        sys.executable, "-m", "wseg_tpu.cli.contrast_train",
+        "--train_list", lst, "--voc12_root", root,
+        "--session_name", session,
+        "--batch_size", str(args.batch), "--max_epoches", str(args.epochs),
+        "--crop_size", str(args.crop), "--low_res", str(args.low_res),
+        "--min_long", str(args.min_long), "--max_long", str(args.max_long),
+        "--num_workers", "8", "--compute_dtype", "bfloat16",
+        "--tblog_dir", os.path.join(work, "tblog", session),
+        # synthetic data + random init: clip + real momentum (the reference
+        # hyperparameters assume ImageNet weights; tests/test_e2e_learning.py)
+        "--grad_clip", "5.0", "--momentum", "0.9",
+    ] + extra
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    print("=== " + " ".join(cmd), flush=True)
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=work, env=env, capture_output=True, text=True)
+    dt = time.time() - t0
+    sys.stdout.write(r.stdout[-4000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-4000:])
+        raise SystemExit(f"{session} failed rc={r.returncode}")
+    return r.stdout, dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--work", default="/tmp/soak_stage1")
+    p.add_argument("--unique", type=int, default=256)
+    p.add_argument("--samples_per_epoch", type=int, default=10582)
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--kill_after", type=int, default=4)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--crop", type=int, default=448)
+    p.add_argument("--low_res", type=int, default=128)
+    p.add_argument("--min_long", type=int, default=448)
+    p.add_argument("--max_long", type=int, default=768)
+    p.add_argument("--skip_resume", action="store_true",
+                   help="soak only (halves the wall time)")
+    args = p.parse_args()
+
+    shutil.rmtree(args.work, ignore_errors=True)
+    os.makedirs(args.work)
+    root, lst = build_corpus(args.work, args.unique, args.samples_per_epoch)
+    print(f"corpus: {args.unique} unique imgs, "
+          f"{args.samples_per_epoch} samples/epoch x {args.epochs} epochs")
+
+    # --- A: uninterrupted full schedule -----------------------------------
+    out, dt = run_train(args.work, "full", root, lst, args, [])
+    losses = [float(m) for m in re.findall(r"loss: ([0-9.naife+-]+) \|", out)]
+    imps = [float(m) for m in re.findall(r"imps:([0-9.]+)", out)]
+    assert losses and all(l == l and abs(l) < 1e9 for l in losses), \
+        f"NaN/divergence in soak losses: {losses[-5:]}"
+    # throughput stability: compare the tail median to the best 50-iter window
+    tail = sorted(imps[-max(3, len(imps) // 4):])[len(imps[-max(3, len(imps) // 4):]) // 2]
+    best = max(imps)
+    print(json.dumps({
+        "soak_wall_sec": round(dt, 1),
+        "imps_best": best, "imps_tail_median": tail,
+        "n_log_points": len(imps), "final_loss": losses[-1],
+    }), flush=True)
+    assert tail > 0.8 * best, f"throughput sagged: tail {tail} vs best {best}"
+
+    if args.skip_resume:
+        return
+
+    # --- B: killed at epoch k, resumed, must equal A bit-exactly ----------
+    run_train(args.work, "part", root, lst, args,
+              ["--save_every_epoch", "--stop_after_epoch", str(args.kill_after)])
+    ep_ckpt = os.path.join(args.work, "result", "part", "contrast_train.ckpt")
+    assert os.path.exists(ep_ckpt)
+    run_train(args.work, "part", root, lst, args,
+              ["--resume", ep_ckpt, "--start_epoch", str(args.kill_after)])
+
+    import numpy as np
+
+    sys.path.insert(0, _REPO)
+    from wseg_tpu.utils.checkpoint import load_checkpoint
+
+    a = load_checkpoint(os.path.join(args.work, "result", "full", "contrast.ckpt"), None)
+    b = load_checkpoint(os.path.join(args.work, "result", "part", "contrast.ckpt"), None)
+    import jax
+
+    la, lb = jax.tree.leaves(a["params"]), jax.tree.leaves(b["params"])
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    print(json.dumps({"resume_equivalence": "bit-exact", "kill_after": args.kill_after}))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,15 @@ def main(argv=None):
                         help="capture a jax.profiler trace of steps 10-15")
     parser.add_argument("--save_every_epoch", action="store_true",
                         help="checkpoint per epoch (reference saves only at the end)")
+    parser.add_argument("--stop_after_epoch", default=0, type=int,
+                        help="soak/test hook: exit after this many epochs "
+                        "WITHOUT writing the final checkpoint (emulates a "
+                        "mid-schedule kill; pair with --save_every_epoch). "
+                        "The poly-lr schedule still spans --max_epoches")
+    parser.add_argument("--start_epoch", default=0, type=int,
+                        help="first epoch index for a --resume'd run: epoch-"
+                        "indexed shuffle + augmentation make the continuation "
+                        "reproduce the uninterrupted run exactly")
     parser.add_argument("--resume", default="", type=str,
                         help="resume params+opt state from a .ckpt")
     parser.add_argument("--compute_dtype", default="float32",
@@ -89,7 +98,7 @@ def main(argv=None):
 
     dataset = ContrastTrainDataset(
         args.train_list, args.voc12_root, crop_size=args.crop_size,
-        min_long=args.min_long, max_long=args.max_long,
+        min_long=args.min_long, max_long=args.max_long, det_seed=args.seed,
     )
     loader = DataLoader(
         dataset, args.batch_size, shuffle=True, drop_last=True,
@@ -148,12 +157,13 @@ def main(argv=None):
 
     avg_meter = AverageMeter()
     timer = Timer("Session started: ")
-    global_step = 0
+    global_step = args.start_epoch * (len(dataset) // args.batch_size)
     pending = []  # device-side metric dicts; pulled to host only at the
     # 50-iter print boundary so the step loop stays async (any device->host
     # round trip blocks on step completion and is expensive on the relay)
 
-    for ep in range(args.max_epoches):
+    for ep in range(args.start_epoch, args.max_epoches):
+        loader.set_epoch(ep)
         for it, (names, imgs, labels) in enumerate(loader):
             batch = shard_batch(
                 mesh, (imgs.astype(np.float32), np.stack(labels).astype(np.float32))
@@ -196,7 +206,13 @@ def main(argv=None):
         if args.save_every_epoch:
             ep_ckpt = os.path.join("result", args.session_name, "contrast_train.ckpt")
             save_checkpoint(ep_ckpt, jax.device_get(state))
-            print(f"epoch {ep}: saved resumable state to {ep_ckpt}")
+            print(f"epoch {ep}: saved resumable state to {ep_ckpt} "
+                  f"(continue with --resume <ckpt> --start_epoch {ep + 1})",
+                  flush=True)
+        if args.stop_after_epoch and ep + 1 >= args.stop_after_epoch:
+            print(f"stop_after_epoch={args.stop_after_epoch}: exiting without "
+                  "final checkpoint (kill emulation)")
+            return
 
     print(args.session_name)
     out = os.path.join("result", args.session_name, "contrast.ckpt")

@@ -33,7 +33,20 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.collate = collate or default_collate
+        self.seed = seed
         self._rng = random.Random(seed)
+        self._epoch = None
+
+    def set_epoch(self, epoch: int):
+        """Epoch-indexed determinism: the shuffle order for epoch e becomes a
+        pure function of (seed, e) — a restarted process that calls
+        set_epoch(e) sees exactly the order the original run would have
+        (the `--resume` equivalence guarantee). Also forwarded to the
+        dataset's augmentation rng when it supports it. Never calling this
+        keeps the stateful stream behavior."""
+        self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -42,7 +55,11 @@ class DataLoader:
     def __iter__(self):
         order = list(range(len(self.dataset)))
         if self.shuffle:
-            self._rng.shuffle(order)
+            rng = (
+                random.Random(f"{self.seed}:{self._epoch}")
+                if self._epoch is not None else self._rng
+            )
+            rng.shuffle(order)
         batches = [
             order[i : i + self.batch_size]
             for i in range(0, len(order), self.batch_size)

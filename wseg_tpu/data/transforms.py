@@ -5,6 +5,12 @@ torchvision bits used in contrast_train.py:64-75): PIL bicubic resizing,
 zero-padded random crop, torchvision-style ColorJitter. They run on CPU in
 the input pipeline — image decode/augment is not TPU work. Output is HWC
 float32 (NHWC batches), never CHW: the device side is channels-last.
+
+Random transforms accept an optional `rng` (a `random.Random`): passing one
+makes the sample's augmentation a pure function of that rng regardless of
+thread scheduling — the deterministic input pipeline behind the
+kill-and-`--resume` equivalence guarantee (cli/contrast_train.py). With
+rng=None they draw from the global stream (reference-style behavior).
 """
 
 from __future__ import annotations
@@ -27,8 +33,8 @@ class RandomResizeLong:
         self.min_long = min_long
         self.max_long = max_long
 
-    def __call__(self, img: PIL.Image.Image) -> PIL.Image.Image:
-        target_long = random.randint(self.min_long, self.max_long)
+    def __call__(self, img: PIL.Image.Image, rng=None) -> PIL.Image.Image:
+        target_long = (rng or random).randint(self.min_long, self.max_long)
         w, h = img.size
         if w < h:
             shape = (int(round(w * target_long / h)), target_long)
@@ -38,8 +44,8 @@ class RandomResizeLong:
 
 
 class RandomHorizontalFlip:
-    def __call__(self, img):
-        if bool(random.getrandbits(1)):
+    def __call__(self, img, rng=None):
+        if bool((rng or random).getrandbits(1)):
             if isinstance(img, PIL.Image.Image):
                 return img.transpose(PIL.Image.FLIP_LEFT_RIGHT)
             return np.fliplr(img).copy()
@@ -66,21 +72,22 @@ class ColorJitter:
         h = PIL.Image.fromarray(h_np.astype(np.uint8), "L")
         return PIL.Image.merge("HSV", (h, s, v)).convert("RGB")
 
-    def __call__(self, img: PIL.Image.Image) -> PIL.Image.Image:
+    def __call__(self, img: PIL.Image.Image, rng=None) -> PIL.Image.Image:
+        r = rng or random
         ops = []
         if self.brightness > 0:
-            f = random.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
+            f = r.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
             ops.append(lambda im, f=f: PIL.ImageEnhance.Brightness(im).enhance(f))
         if self.contrast > 0:
-            f = random.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
+            f = r.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
             ops.append(lambda im, f=f: PIL.ImageEnhance.Contrast(im).enhance(f))
         if self.saturation > 0:
-            f = random.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
+            f = r.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
             ops.append(lambda im, f=f: PIL.ImageEnhance.Color(im).enhance(f))
         if self.hue > 0:
-            f = random.uniform(-self.hue, self.hue)
+            f = r.uniform(-self.hue, self.hue)
             ops.append(lambda im, f=f: self._adjust_hue(im, f))
-        random.shuffle(ops)
+        r.shuffle(ops)
         for op in ops:
             img = op(img)
         return img
@@ -105,19 +112,20 @@ class RandomCrop:
     def __init__(self, cropsize: int):
         self.cropsize = cropsize
 
-    def get_box(self, h: int, w: int):
+    def get_box(self, h: int, w: int, rng=None):
+        r = rng or random
         ch = min(self.cropsize, h)
         cw = min(self.cropsize, w)
         w_space = w - self.cropsize
         h_space = h - self.cropsize
         if w_space > 0:
-            cont_left, img_left = 0, random.randrange(w_space + 1)
+            cont_left, img_left = 0, r.randrange(w_space + 1)
         else:
-            cont_left, img_left = random.randrange(-w_space + 1), 0
+            cont_left, img_left = r.randrange(-w_space + 1), 0
         if h_space > 0:
-            cont_top, img_top = 0, random.randrange(h_space + 1)
+            cont_top, img_top = 0, r.randrange(h_space + 1)
         else:
-            cont_top, img_top = random.randrange(-h_space + 1), 0
+            cont_top, img_top = r.randrange(-h_space + 1), 0
         return cont_top, cont_left, img_top, img_left, ch, cw
 
     def apply(self, arr: np.ndarray, box) -> np.ndarray:
@@ -128,9 +136,9 @@ class RandomCrop:
         ]
         return out
 
-    def __call__(self, arr: np.ndarray) -> np.ndarray:
+    def __call__(self, arr: np.ndarray, rng=None) -> np.ndarray:
         h, w = arr.shape[:2]
-        return self.apply(arr, self.get_box(h, w))
+        return self.apply(arr, self.get_box(h, w, rng))
 
 
 class CenterCrop:

@@ -129,25 +129,43 @@ class VOC12ClsDataset(VOC12ImageDataset):
 class ContrastTrainDataset(VOC12ClsDataset):
     """The stage-1 training pipeline (contrast_train.py:64-75):
     RandomResizeLong(448,768) -> flip -> ColorJitter -> normalize ->
-    RandomCrop(crop) — emitting HWC float32."""
+    RandomCrop(crop) — emitting HWC float32.
+
+    det_seed: when set, sample idx in epoch e is augmented by a private
+    `random.Random((det_seed, e, idx))` — bit-reproducible across processes
+    and thread schedules (the kill-and-resume equivalence guarantee; the
+    epoch index comes from `set_epoch`, called by DataLoader). None = global
+    random stream (reference-style)."""
 
     def __init__(self, img_name_list_path, voc12_root, crop_size=448,
-                 min_long=448, max_long=768, cls_labels_path=None):
+                 min_long=448, max_long=768, cls_labels_path=None,
+                 det_seed: int | None = None):
         super().__init__(img_name_list_path, voc12_root, None, cls_labels_path)
         self.resize = T.RandomResizeLong(min_long, max_long)
         self.flip = T.RandomHorizontalFlip()
         self.jitter = T.ColorJitter(0.3, 0.3, 0.3, 0.1)
         self.normalize = T.Normalize()
         self.crop = T.RandomCrop(crop_size)
+        self.det_seed = det_seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
 
     def __getitem__(self, idx: int):
+        import random as _random
+
+        rng = (
+            _random.Random(f"{self.det_seed}:{self._epoch}:{idx}")
+            if self.det_seed is not None else None
+        )
         name, img = self._load(idx)
-        img = self.resize(img)
-        img = self.flip(img)
+        img = self.resize(img, rng)
+        img = self.flip(img, rng)
         if isinstance(img, np.ndarray):
             img = PIL.Image.fromarray(img)
-        img = self.jitter(img)
-        arr = self.crop(self.normalize(img))
+        img = self.jitter(img, rng)
+        arr = self.crop(self.normalize(img), rng)
         return name, arr, self.label_list[idx]
 
 
