@@ -27,9 +27,17 @@ def _machine_tag() -> str:
 
 def enable_compilation_cache(path: str | None = None) -> None:
     """Turn on the persistent compilation cache unless one is already
-    configured (tests/bench set their own dirs)."""
+    configured (tests/bench set their own dirs).
+
+    Also honors WSEG_PLATFORM (e.g. "cpu"): env vars like JAX_PLATFORMS are
+    pre-empted by the TPU sitecustomize here, so this config-API hook is how
+    a parent process (the reproduce driver's smoke test, CI) forces CLI
+    subprocesses off the TPU."""
     import jax
 
+    forced = os.environ.get("WSEG_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
     if jax.config.jax_compilation_cache_dir is not None:
         return
     if path is None:
