@@ -191,23 +191,26 @@ def test_stage1_contrast_train_learns_planted_correlation(stage1):
     assert miou_trained > 10.0, miou_trained
 
 
-@pytest.fixture(scope="module")
-def stage2(stage1):
-    """aff_prepare -> aff_train -> aff_infer on the stage-1 artifacts."""
+def _run_stage2(stage1, crf_backend: str, tag: str):
+    """aff_prepare -> aff_train -> aff_infer on the stage-1 artifacts, with
+    the CRF backend parametrized (VERDICT r3 item 4: the TPU CRF's 1.4%
+    per-image argmax disagreement must be proven harmless to the stage-2
+    labels it feeds — this runs the whole refinement leg on each backend)."""
     from wseg_tpu.cli import aff_infer, aff_prepare, aff_train
 
     tmp_path = stage1["tmp"]
-    # CAMs on the TRAIN split feed stage-2 label generation
+    # CAMs on the TRAIN split feed stage-2 label generation (shared across
+    # backends: the backend only affects aff_prepare's CRF)
     train_cam = _infer_cams(
         stage1["trained_ckpt"], stage1["train_list"], stage1["root"],
         str(tmp_path / "tr"),
     )
-    crf_dir = str(tmp_path / "crf")
+    crf_dir = str(tmp_path / f"crf_{tag}")
     for alpha in ("4", "32"):
         aff_prepare.main([
             "--infer_list", stage1["train_list"], "--voc12_root", stage1["root"],
             "--cam_dir", train_cam, "--out_crf", crf_dir, "--alpha", alpha,
-            "--num_workers", "2",
+            "--num_workers", "2", "--crf_backend", crf_backend,
         ])
 
     cwd = os.getcwd()
@@ -218,29 +221,55 @@ def stage2(stage1):
             "--la_crf_dir", os.path.join(crf_dir, "4.00"),
             "--ha_crf_dir", os.path.join(crf_dir, "32.00"),
             "--batch_size", "4", "--max_epoches", "12", "--crop_size", "64",
-            "--num_workers", "2", "--session_name", "e2e_aff",
+            "--num_workers", "2", "--session_name", f"e2e_aff_{tag}",
             "--momentum", "0.9",
         ])
-        aff_ckpt = str(tmp_path / "result" / "e2e_aff" / "aff.ckpt")
+        aff_ckpt = str(tmp_path / "result" / f"e2e_aff_{tag}" / "aff.ckpt")
         assert os.path.exists(aff_ckpt)
     finally:
         os.chdir(cwd)
 
     # random-walk refinement of the EVAL seeds and the TRAIN seeds (the
     # latter become stage-3 pseudo ground truth, reference pipeline order)
-    rw_eval = str(tmp_path / "rw_eval")
+    rw_eval = str(tmp_path / f"rw_eval_{tag}")
     aff_infer.main([
         "--weights", aff_ckpt, "--infer_list", stage1["eval_list"],
         "--cam_dir", stage1["eval_cam"], "--voc12_root", stage1["root"],
         "--out_rw", rw_eval, "--num_workers", "2",
     ])
-    rw_train = str(tmp_path / "rw_train")
+    rw_train = str(tmp_path / f"rw_train_{tag}")
     aff_infer.main([
         "--weights", aff_ckpt, "--infer_list", stage1["train_list"],
         "--cam_dir", train_cam, "--voc12_root", stage1["root"],
         "--out_rw", rw_train, "--num_workers", "2",
     ])
     return {"aff_ckpt": aff_ckpt, "rw_eval": rw_eval, "rw_train": rw_train}
+
+
+@pytest.fixture(scope="module")
+def stage2(stage1):
+    return _run_stage2(stage1, crf_backend="native", tag="native")
+
+
+@pytest.fixture(scope="module")
+def stage2_tpu(stage1):
+    return _run_stage2(stage1, crf_backend="tpu", tag="tpu")
+
+
+@pytest.mark.slow
+@pytest.mark.learn
+def test_stage2_tpu_crf_backend_is_downstream_neutral(stage1, stage2, stage2_tpu):
+    """The TPU CRF's per-image argmax disagreement vs native (<=1.4%,
+    tests/test_cli_aff_prepare.py) must not harm what matters: the refined
+    masks produced by an AffinityNet TRAINED on its labels. Runs the full
+    stage-2 leg on both backends and asserts refined-mask mIoU parity."""
+    m_native = _miou_png(stage2["rw_eval"], stage1["gt_dir"], stage1["eval_list"])
+    m_tpu = _miou_png(stage2_tpu["rw_eval"], stage1["gt_dir"], stage1["eval_list"])
+    print(f"stage-2 refined mIoU: native-CRF {m_native:.2f} vs tpu-CRF {m_tpu:.2f}")
+    # tolerance: the planted-data refined mIoU lands ~14-19; a harmful label
+    # corruption collapses it (<= seeds - several points), while run-to-run
+    # trainer noise on 96 tiny steps is ~1 point
+    assert abs(m_native - m_tpu) <= 2.5, (m_native, m_tpu)
 
 
 @pytest.mark.slow
