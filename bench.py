@@ -210,7 +210,7 @@ def main():
 
         host_fuse_s = []
 
-        def run_reference_style(img_s=None):
+        def run_reference_style(img_s=None, dev_s=None):
             for bi in range(b):
                 t0 = time.perf_counter()
                 for si in range(len(DEFAULT_SCALES)):
@@ -222,9 +222,13 @@ def main():
                 host_fuse_s.append(time.perf_counter() - tf)
                 if img_s is not None:
                     img_s.append(time.perf_counter() - t0)
+                if dev_s is not None:
+                    dev_s.append(tf - t0)
 
         run_reference_style()  # compile
         ref_img_s = []
+        ref_dev_s = []  # device+sync only (the pre-r3 accounting, recorded
+        # so the artifact carries the ratio under BOTH definitions)
         # The baseline's per-view host syncs ARE its execution model (the
         # reference does one .cpu() per view), and each image is processed
         # independently — so its throughput is estimated as the median
@@ -235,9 +239,10 @@ def main():
         # the relay's outliers, which is the honest denominator.
         for _ in range(max(args.baseline_reps, 1)):
             t0 = time.perf_counter()
-            run_reference_style(ref_img_s)
+            run_reference_style(ref_img_s, ref_dev_s)
             ref_rep_s.append(time.perf_counter() - t0)
         ref_ips = 1.0 / _median(ref_img_s)
+        ref_ips_dev_only = 1.0 / _median(ref_dev_s)
 
     # physical ceiling for THIS configuration (ROOFLINE.md 3 derives the
     # default's 16.7 i/s: 11.76 TFLOP/img at 384x512 over the 196.6 TFLOP/s
@@ -258,6 +263,13 @@ def main():
             "dtype": args.dtype,
             "fused_pcm": args.fused_pcm,
             "reference_style_ips": round(ref_ips, 3) if ref_ips else None,
+            # both accountings (VERDICT r3 item 2): the headline charges the
+            # reference's literal host fusion; this row is the ratio under
+            # the old device+sync-only definition
+            "vs_baseline_device_sync_only": (
+                round(fused_ips / ref_ips_dev_only, 3) if ref_ips else None
+            ),
+            "reference_img_device_s": _spread(ref_dev_s) if ref_ips else None,
             "fused_reps": f"3 trials x {args.iters} pipelined batches",
             "baseline_reps": len(ref_rep_s) if ref_rep_s else 0,
             "baseline_img_samples": len(ref_img_s) if ref_ips else 0,
