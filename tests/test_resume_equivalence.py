@@ -88,3 +88,104 @@ def test_killed_and_resumed_run_equals_uninterrupted(tmp_path):
     assert len(leaves_f) == len(leaves_r)
     for a, b in zip(leaves_f, leaves_r):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _run_aff(tmp_path, session, root, train_list, la, ha, epochs, extra):
+    from wseg_tpu.cli import aff_train
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        aff_train.main([
+            "--train_list", train_list, "--voc12_root", root,
+            "--la_crf_dir", la, "--ha_crf_dir", ha,
+            "--batch_size", "4", "--max_epoches", str(epochs),
+            "--crop_size", "64", "--num_workers", "2",
+            "--session_name", session, "--momentum", "0.9",
+        ] + extra)
+    finally:
+        os.chdir(cwd)
+    return str(tmp_path / "result" / session / "aff.ckpt")
+
+
+@pytest.mark.slow
+def test_aff_train_killed_and_resumed_equals_uninterrupted(tmp_path):
+    import jax
+
+    root, train_list, _, _, names = _make_planted_voc(
+        tmp_path, n_train=8, n_eval=0, size=64
+    )
+    # synthetic la/ha CRF score arrays ((21, h, w), the aff_prepare contract)
+    rng = np.random.RandomState(3)
+    la = tmp_path / "la"
+    ha = tmp_path / "ha"
+    la.mkdir()
+    ha.mkdir()
+    for n in names[:8]:
+        np.save(la / f"{n}.npy", rng.rand(21, 64, 64).astype(np.float32))
+        np.save(ha / f"{n}.npy", rng.rand(21, 64, 64).astype(np.float32))
+
+    full = _run_aff(tmp_path, "afull", root, train_list, str(la), str(ha), 3, [])
+    _run_aff(tmp_path, "apart", root, train_list, str(la), str(ha), 3,
+             ["--save_every_epoch", "--stop_after_epoch", "1"])
+    ep_ckpt = str(tmp_path / "result" / "apart" / "aff_train.ckpt")
+    assert os.path.exists(ep_ckpt)
+    resumed = _run_aff(tmp_path, "apart", root, train_list, str(la), str(ha), 3,
+                       ["--resume", ep_ckpt, "--start_epoch", "1"])
+
+    pf, pr = _final_params(full), _final_params(resumed)
+    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pr)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_seg_train_killed_and_resumed_equals_uninterrupted(tmp_path):
+    import jax
+    from PIL import Image
+
+    from wseg_tpu.cli import seg_train
+
+    root, _, _, gt_dir, names = _make_planted_voc(
+        tmp_path, n_train=8, n_eval=0, size=64
+    )
+    seg_root = tmp_path / "segVOC"
+    (seg_root / "JPEGImages").mkdir(parents=True)
+    (seg_root / "SegmentationClass").mkdir()
+    (seg_root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    for n in names:
+        os.link(os.path.join(root, "JPEGImages", n + ".jpg"),
+                seg_root / "JPEGImages" / f"{n}.jpg")
+        os.link(os.path.join(gt_dir, n + ".png"),
+                seg_root / "SegmentationClass" / f"{n}.png")
+    (seg_root / "ImageSets" / "Segmentation" / "trainaug.txt").write_text(
+        "\n".join(names) + "\n"
+    )
+
+    def run(session, extra):
+        rundir = tmp_path / session
+        rundir.mkdir(exist_ok=True)
+        cwd = os.getcwd()
+        os.chdir(rundir)
+        try:
+            seg_train.main([
+                "--exp", "SEAM_deeplabv1_resnet38", "--data_root", str(seg_root),
+                "--pseudo_gt", str(seg_root / "SegmentationClass"),
+                "--iterations", "6", "--batch_size", "4", "--crop", "64",
+                "--bn_mom", "0.1",
+            ] + extra)
+        finally:
+            os.chdir(cwd)
+        return str(rundir / "model" / "SEAM_deeplabv1_resnet38" /
+                   "deeplabv1_resnet38_VOCDataset_itr6_all.ckpt")
+
+    # 6 iterations at 2 steps/epoch = 3 epochs; kill after epoch 1
+    full = run("sfull", [])
+    run("spart", ["--save_state", "--stop_after_epoch", "1"])
+    st = str(tmp_path / "spart" / "model" / "SEAM_deeplabv1_resnet38" /
+             "seg_train_state.ckpt")
+    assert os.path.exists(st)
+    resumed = run("spart", ["--resume", st, "--min_epoch", "1"])
+
+    pf, pr = _final_params(full), _final_params(resumed)
+    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pr)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -24,6 +24,17 @@ def main(argv=None):
     parser.add_argument("--ha_crf_dir", required=True, type=str)
     parser.add_argument("--momentum", default=5e-4, type=float)
     parser.add_argument("--seed", default=1, type=int)
+    parser.add_argument("--save_every_epoch", action="store_true",
+                        help="checkpoint the FULL train state per epoch")
+    parser.add_argument("--resume", default="", type=str,
+                        help="resume params+opt state from a per-epoch .ckpt")
+    parser.add_argument("--start_epoch", default=0, type=int,
+                        help="first epoch of a --resume'd run (epoch-indexed "
+                        "shuffle/augmentation make it reproduce the "
+                        "uninterrupted run bit-exactly)")
+    parser.add_argument("--stop_after_epoch", default=0, type=int,
+                        help="exit after this many epochs without the final "
+                        "save (kill emulation; see contrast_train)")
     args = parser.parse_args(argv)
 
     import jax
@@ -53,7 +64,7 @@ def main(argv=None):
     model = build_model(args.network)
     dataset = VOC12AffDataset(
         args.train_list, args.la_crf_dir, args.ha_crf_dir, args.voc12_root,
-        cropsize=args.crop_size,
+        cropsize=args.crop_size, det_seed=args.seed,
     )
 
     def collate(samples):
@@ -99,6 +110,9 @@ def main(argv=None):
     tx = poly_sgd(args.lr, args.wt_dec, max_step, momentum=args.momentum,
                   labels=label_params(params))
     state = AffTrainState(params, tx.init(params), batch_stats, rng)
+    if args.resume:
+        state = load_checkpoint(args.resume, state)
+        print(f"resumed full train state from {args.resume}")
 
     mesh = make_mesh_for_batch(args.batch_size)
     state = replicate(mesh, state)
@@ -106,10 +120,11 @@ def main(argv=None):
 
     avg_meter = AverageMeter()
     timer = Timer("Session started: ")
-    global_step = 0
+    global_step = args.start_epoch * (len(dataset) // args.batch_size)
     pending = []  # host-sync metrics only at the print boundary (async steps)
 
-    for ep in range(args.max_epoches):
+    for ep in range(args.start_epoch, args.max_epoches):
+        loader.set_epoch(ep)
         for it, (imgs, bg, fg, neg) in enumerate(loader):
             batch = shard_batch(mesh, (imgs, bg, fg, neg))
             state, metrics = step_fn(state, *batch)
@@ -133,6 +148,16 @@ def main(argv=None):
                 avg_meter.pop()
         print("")
         timer.reset_stage()
+        if args.save_every_epoch:
+            ep_ckpt = os.path.join("result", args.session_name, "aff_train.ckpt")
+            save_checkpoint(ep_ckpt, jax.device_get(state))
+            print(f"epoch {ep}: saved resumable state to {ep_ckpt} "
+                  f"(continue with --resume <ckpt> --start_epoch {ep + 1})",
+                  flush=True)
+        if args.stop_after_epoch and ep + 1 >= args.stop_after_epoch:
+            print(f"stop_after_epoch={args.stop_after_epoch}: exiting without "
+                  "final checkpoint (kill emulation)")
+            return
 
     out = os.path.join("result", args.session_name, "aff.ckpt")
     save_checkpoint(

@@ -30,6 +30,20 @@ def main(argv=None):
                         "schedule; short runs need ~0.1 for the running "
                         "stats to reach the batch statistics by eval time")
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--save_state", action="store_true",
+                        help="additionally checkpoint the FULL train state "
+                        "(params+optimizer+rng) per epoch, for exact resume")
+    parser.add_argument("--resume", default="",
+                        help="resume the FULL train state from a "
+                        "seg_train_state.ckpt (bit-exact continuation; "
+                        "--train_ckpt restores params only, the reference's "
+                        "TRAIN_CKPT semantics)")
+    parser.add_argument("--min_epoch", type=int, default=None,
+                        help="override TRAIN_MINEPOCH (the first epoch of a "
+                        "--resume'd run)")
+    parser.add_argument("--stop_after_epoch", type=int, default=0,
+                        help="exit after this many epochs without the final "
+                        "save (kill emulation; pair with --save_state)")
     args = parser.parse_args(argv)
 
     import random
@@ -73,12 +87,15 @@ def main(argv=None):
         cfg = cfg.replace(TRAIN_CKPT=args.train_ckpt)
     if args.backbone_weights:
         cfg = cfg.replace(MODEL_BACKBONE_WEIGHTS=args.backbone_weights)
+    if args.min_epoch is not None:
+        cfg = cfg.replace(TRAIN_MINEPOCH=args.min_epoch)
 
     os.makedirs(cfg.MODEL_SAVE_DIR, exist_ok=True)
     Logger(os.path.join(cfg.LOG_DIR, "train.log"))
     print(cfg)
 
-    dataset = generate_dataset(cfg, period="train", transform="weak")
+    dataset = generate_dataset(cfg, period="train", transform="weak",
+                               det_seed=args.seed)
 
     def collate(samples):
         return (
@@ -135,6 +152,9 @@ def main(argv=None):
         ),
     )
     state = SegTrainState(params, tx.init(params), batch_stats, rng)
+    if args.resume:
+        state = load_checkpoint(args.resume, state)
+        print(f"resumed full train state from {args.resume}")
 
     mesh = make_mesh_for_batch(cfg.TRAIN_BATCHES)
     state = replicate(mesh, state)
@@ -149,6 +169,7 @@ def main(argv=None):
     for epoch in range(cfg.TRAIN_MINEPOCH, max_epoch):
         if done:
             break
+        loader.set_epoch(epoch)
         for imgs, segs in loader:
             batch = shard_batch(mesh, (imgs, segs))
             state, metrics = step_fn(state, *batch)
@@ -192,6 +213,16 @@ def main(argv=None):
         )
         if os.path.exists(prev):
             os.remove(prev)
+        if args.save_state:
+            st = os.path.join(cfg.MODEL_SAVE_DIR, "seg_train_state.ckpt")
+            save_checkpoint(st, jax.device_get(state))
+            print(f"epoch {epoch}: saved resumable state to {st} "
+                  f"(continue with --resume <ckpt> --min_epoch {epoch + 1})",
+                  flush=True)
+        if args.stop_after_epoch and epoch + 1 >= args.stop_after_epoch:
+            print(f"stop_after_epoch={args.stop_after_epoch}: exiting without "
+                  "final checkpoint (kill emulation)")
+            return
 
     final = os.path.join(
         cfg.MODEL_SAVE_DIR,

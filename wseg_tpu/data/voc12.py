@@ -302,7 +302,7 @@ class VOC12AffDataset(VOC12ImageDataset):
     affinity targets (bg_pos, fg_pos, neg)."""
 
     def __init__(self, img_name_list_path, label_la_dir, label_ha_dir, voc12_root,
-                 cropsize=448, radius=5):
+                 cropsize=448, radius=5, det_seed: int | None = None):
         super().__init__(img_name_list_path, voc12_root, None)
         from wseg_tpu.data.affinity_labels import ExtractAffinityLabelInRadius
 
@@ -313,8 +313,20 @@ class VOC12AffDataset(VOC12ImageDataset):
         self.crop = T.RandomCrop(cropsize)
         self.label_pool = T.AvgPool2d(8)
         self.extract = ExtractAffinityLabelInRadius(cropsize // 8, radius)
+        # same epoch-indexed determinism contract as ContrastTrainDataset
+        self.det_seed = det_seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
 
     def __getitem__(self, idx: int):
+        import random as _random
+
+        rng = (
+            _random.Random(f"{self.det_seed}:{self._epoch}:{idx}")
+            if self.det_seed is not None else None
+        )
         name, img = self._load(idx)
         label_la = np.load(os.path.join(self.label_la_dir, name + ".npy"), allow_pickle=True)
         label_ha = np.load(os.path.join(self.label_ha_dir, name + ".npy"), allow_pickle=True)
@@ -327,15 +339,13 @@ class VOC12AffDataset(VOC12ImageDataset):
         # reference order (aff_train.py:42-60): jitter -> joint RandomCrop on
         # the RAW uint8 image (pad pixels are black and only then normalized,
         # so padding = normalize(0), not 0) -> normalize -> joint flip
-        img = self.jitter(img)
+        img = self.jitter(img, rng)
         raw = np.asarray(img, np.float32)
-        box = self.crop.get_box(*raw.shape[:2])
+        box = self.crop.get_box(*raw.shape[:2], rng=rng)
         raw = self.crop.apply(raw, box)
         label = self.crop.apply(label.astype(np.float32), box)
         arr = self.normalize(raw)
-        import random as _random
-
-        if bool(_random.getrandbits(1)):
+        if bool((rng or _random).getrandbits(1)):
             arr = np.fliplr(arr).copy()
             label = np.fliplr(label).copy()
 

@@ -22,37 +22,40 @@ from wseg_tpu.seg.config import SegConfig
 from wseg_tpu.utils.registry import DATASETS
 
 
-def random_hsv(image: np.ndarray, h_r: int, s_r: int, v_r: int) -> np.ndarray:
+def random_hsv(image: np.ndarray, h_r: int, s_r: int, v_r: int,
+               rng=None) -> np.ndarray:
+    r_ = rng or random
     hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV)
     h = hsv[:, :, 0].astype(np.int32)
     s = hsv[:, :, 1].astype(np.int32)
     v = hsv[:, :, 2].astype(np.int32)
-    h = (h + random.randint(-h_r, h_r)) % 180
-    s = np.clip(s + random.randint(-s_r, s_r), 0, 255)
-    v = np.clip(v + random.randint(-v_r, v_r), 0, 255)
+    h = (h + r_.randint(-h_r, h_r)) % 180
+    s = np.clip(s + r_.randint(-s_r, s_r), 0, 255)
+    v = np.clip(v + r_.randint(-v_r, v_r), 0, 255)
     hsv = np.stack([h, s, v], axis=-1).astype(np.uint8)
     return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.uint8)
 
 
-def random_scale(image, seg, scale_range) -> tuple[np.ndarray, np.ndarray]:
-    r = random.random() * (scale_range[1] - scale_range[0]) + scale_range[0]
+def random_scale(image, seg, scale_range, rng=None) -> tuple[np.ndarray, np.ndarray]:
+    r = (rng or random).random() * (scale_range[1] - scale_range[0]) + scale_range[0]
     image = cv2.resize(image, None, fx=r, fy=r, interpolation=cv2.INTER_CUBIC)
     seg = cv2.resize(seg, None, fx=r, fy=r, interpolation=cv2.INTER_NEAREST)
     return image, seg
 
 
-def random_crop(image, seg, size: int):
+def random_crop(image, seg, size: int, rng=None):
+    r_ = rng or random
     h, w = image.shape[:2]
     ch, cw = min(h, size), min(w, size)
     h_space, w_space = h - size, w - size
     if w_space > 0:
-        cont_left, img_left = 0, random.randrange(w_space + 1)
+        cont_left, img_left = 0, r_.randrange(w_space + 1)
     else:
-        cont_left, img_left = random.randrange(-w_space + 1), 0
+        cont_left, img_left = r_.randrange(-w_space + 1), 0
     if h_space > 0:
-        cont_top, img_top = 0, random.randrange(h_space + 1)
+        cont_top, img_top = 0, r_.randrange(h_space + 1)
     else:
-        cont_top, img_top = random.randrange(-h_space + 1), 0
+        cont_top, img_top = r_.randrange(-h_space + 1), 0
     img_crop = np.zeros((size, size, 3), np.float32)
     img_crop[cont_top : cont_top + ch, cont_left : cont_left + cw] = image[
         img_top : img_top + ch, img_left : img_left + cw
@@ -80,7 +83,11 @@ class VOCSegDataset:
     """period: 'train'/'val'/'test'; transform: 'weak'/'none'."""
 
     def __init__(self, cfg: SegConfig, period: str, transform: str = "none",
-                 datalist: str = ""):
+                 datalist: str = "", det_seed: int | None = None):
+        # det_seed: epoch-indexed deterministic augmentation, the same
+        # contract as ContrastTrainDataset (data/voc12.py)
+        self.det_seed = det_seed
+        self._epoch = 0
         self.cfg = cfg
         self.period = period
         self.transform = transform
@@ -120,8 +127,15 @@ class VOCSegDataset:
     def normalize(self, image: np.ndarray) -> np.ndarray:
         return (image.astype(np.float32) / 255.0 - self.mean) / self.std
 
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
     def __getitem__(self, idx: int) -> dict:
         cfg = self.cfg
+        rng = (
+            random.Random(f"{self.det_seed}:{self._epoch}:{idx}")
+            if self.det_seed is not None else None
+        )
         name = self.name_list[idx]
         image = self.load_image(name)
         r, c = image.shape[:2]
@@ -130,15 +144,16 @@ class VOCSegDataset:
         if self.transform == "weak":
             seg = self.load_segmentation(name).astype(np.float32)
             if cfg.DATA_RANDOM_H or cfg.DATA_RANDOM_S or cfg.DATA_RANDOM_V:
-                image = random_hsv(image, cfg.DATA_RANDOM_H, cfg.DATA_RANDOM_S, cfg.DATA_RANDOM_V)
-            if cfg.DATA_RANDOMFLIP > 0 and random.random() < cfg.DATA_RANDOMFLIP:
+                image = random_hsv(image, cfg.DATA_RANDOM_H, cfg.DATA_RANDOM_S,
+                                   cfg.DATA_RANDOM_V, rng)
+            if cfg.DATA_RANDOMFLIP > 0 and (rng or random).random() < cfg.DATA_RANDOMFLIP:
                 image = np.flip(image, axis=1)
                 seg = np.flip(seg, axis=1)
             if tuple(cfg.DATA_RANDOMSCALE) != (1, 1):
-                image, seg = random_scale(image, seg, cfg.DATA_RANDOMSCALE)
+                image, seg = random_scale(image, seg, cfg.DATA_RANDOMSCALE, rng)
             image = self.normalize(image)
             if cfg.DATA_RANDOMCROP > 0:
-                image, seg = random_crop(image, seg, cfg.DATA_RANDOMCROP)
+                image, seg = random_crop(image, seg, cfg.DATA_RANDOMCROP, rng)
             sample["image"] = image.astype(np.float32)
             sample["segmentation"] = seg.astype(np.int32)
         else:  # test-time: normalized multi-scale views (BaseDataset Multiscale)
