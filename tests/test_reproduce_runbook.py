@@ -31,9 +31,19 @@ def test_reproduce_chain_runs_end_to_end(tmp_path, monkeypatch):
     root, train_list, eval_list, gt_dir, names = _make_planted_voc(
         tmp_path, n_train=8, n_eval=4, size=64
     )
-    # the runbook evaluates against the standard in-root layout
+    # the runbook evaluates against the standard in-root layout, and stage 3
+    # reads the standard ImageSets lists (trainaug for training on pseudo
+    # GT, val for the final table) — real VOC2012 ships these
     seg_class = os.path.join(root, "SegmentationClass")
     shutil.copytree(gt_dir, seg_class)
+    sets = os.path.join(root, "ImageSets", "Segmentation")
+    os.makedirs(sets)
+    open(os.path.join(sets, "trainaug.txt"), "w").write(
+        "".join(n + "\n" for n in names[:8])
+    )
+    open(os.path.join(sets, "val.txt"), "w").write(
+        "".join(n + "\n" for n in names[8:])
+    )
 
     # stand-in for the ImageNet-pretrained .params: a random-init stage-1
     # checkpoint (strict=False merge feeds all three stages, as the real

@@ -57,7 +57,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--voc12_root", required=True,
                    help="VOC2012 root (JPEGImages/, Annotations/, "
-                        "SegmentationClass/, SegmentationClassAug/)")
+                        "SegmentationClass/, and for stage 3 the standard "
+                        "ImageSets/Segmentation/{trainaug,val}.txt lists)")
     p.add_argument("--weights", required=True,
                    help="ImageNet-pretrained ResNet-38 (.params or .pth) — "
                         "the reference's starting point for stages 1/2/3")
