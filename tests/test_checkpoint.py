@@ -27,6 +27,35 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded["params"]["a"], tree["params"]["a"])
 
 
+def test_save_checkpoint_is_atomic(tmp_path, monkeypatch):
+    """ADVICE r4 (medium): per-epoch resumable checkpoints overwrite one path
+    in place; a kill mid-save (the exact scenario --resume targets) must not
+    truncate the only resume state. save_checkpoint writes a temp file and
+    os.replace()s it — a crash during serialization leaves the old file."""
+    import os
+
+    from flax import serialization
+
+    tree = {"params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    p = tmp_path / "x.ckpt"
+    save_checkpoint(str(p), tree)
+    # a normal save leaves no temp litter
+    assert [f for f in os.listdir(tmp_path) if f != "x.ckpt"] == []
+    original = p.read_bytes()
+
+    def boom(_tree):
+        raise RuntimeError("simulated kill mid-serialization")
+
+    monkeypatch.setattr(serialization, "to_bytes", boom)
+    try:
+        save_checkpoint(str(p), {"params": {"a": np.zeros((2, 3), np.float32)}})
+    except RuntimeError:
+        pass
+    # the prior checkpoint survives byte-identical; no partial temp remains
+    assert p.read_bytes() == original
+    assert [f for f in os.listdir(tmp_path) if f != "x.ckpt"] == []
+
+
 def test_convert_torch_state_dict_covers_contrast_net():
     """Every reference state_dict key for the contrast net maps into our init
     tree with the right shapes."""

@@ -186,6 +186,12 @@ def test_refiner_gather_pair_impl_lowers_pixel_budget():
     assert sliced.max_walk_px == MAX_WALK_PX
     assert gather.max_walk_px == MAX_WALK_PX_GATHER
     assert override.max_walk_px == 123
+    # ADVICE r4: an EXPLICIT max_walk_px equal to the default sentinel value
+    # must be honored as-is, not silently demoted to the gather budget
+    explicit_default = RandomWalkRefiner(
+        build_model("affinity", pair_impl="gather"), {}, max_walk_px=MAX_WALK_PX
+    )
+    assert explicit_default.max_walk_px == MAX_WALK_PX
 
 
 def test_random_walk_bf16_chain_tracks_f32():

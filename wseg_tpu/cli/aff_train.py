@@ -36,6 +36,12 @@ def main(argv=None):
                         help="exit after this many epochs without the final "
                         "save (kill emulation; see contrast_train)")
     args = parser.parse_args(argv)
+    if args.start_epoch > 0 and not args.resume:
+        raise SystemExit(
+            f"--start_epoch {args.start_epoch} without --resume would skip "
+            "epochs and train from init weights with a misleading "
+            "global_step/lr; pass --resume <ckpt> (or drop --start_epoch)."
+        )
 
     import jax
     import jax.numpy as jnp

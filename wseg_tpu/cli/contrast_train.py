@@ -66,6 +66,12 @@ def main(argv=None):
                         "unnormalized 4096-ch head yields ~1e2 logits and "
                         "the x10-lr head groups diverge in one step)")
     args = parser.parse_args(argv)
+    if args.start_epoch > 0 and not args.resume:
+        raise SystemExit(
+            f"--start_epoch {args.start_epoch} without --resume would skip "
+            "epochs and train from init weights with a misleading "
+            "global_step/lr; pass --resume <ckpt> (or drop --start_epoch)."
+        )
 
     import jax
     import jax.numpy as jnp

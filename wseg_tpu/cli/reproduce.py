@@ -98,7 +98,14 @@ def main(argv=None):
                         "server)")
     args = p.parse_args(argv)
 
-    stages = {s.strip() for s in args.stages.split(",")}
+    stages = {s.strip() for s in args.stages.split(",") if s.strip()}
+    unknown = stages - {"1", "2", "3"}
+    if unknown or not stages:
+        raise SystemExit(
+            f"--stages got {args.stages!r}: expected a comma list drawn from "
+            "1,2,3 (e.g. --stages 2,3); "
+            + (f"unknown tokens {sorted(unknown)}" if unknown else "empty")
+        )
     root = os.path.abspath(args.voc12_root)
     weights = os.path.abspath(args.weights)
     work = os.path.abspath(args.work)

@@ -89,6 +89,13 @@ def main(argv=None):
         cfg = cfg.replace(MODEL_BACKBONE_WEIGHTS=args.backbone_weights)
     if args.min_epoch is not None:
         cfg = cfg.replace(TRAIN_MINEPOCH=args.min_epoch)
+    if cfg.TRAIN_MINEPOCH > 0 and not (args.resume or cfg.TRAIN_CKPT):
+        raise SystemExit(
+            f"--min_epoch {cfg.TRAIN_MINEPOCH} without --resume (or "
+            "--train_ckpt) would skip epochs and train from init weights "
+            "with a misleading iteration/lr; pass --resume <ckpt> (or drop "
+            "--min_epoch)."
+        )
 
     os.makedirs(cfg.MODEL_SAVE_DIR, exist_ok=True)
     Logger(os.path.join(cfg.LOG_DIR, "train.log"))

@@ -34,7 +34,7 @@ MAX_WALK_PX_GATHER = 64 * 384 * 512
 
 class RandomWalkRefiner:
     def __init__(self, model, variables, beta: int = 8, logt: int = 6, bucket: int = 64,
-                 mesh=None, max_walk_px: int = MAX_WALK_PX,
+                 mesh=None, max_walk_px: int | None = None,
                  matrix_impl: str = "scatter", walk_dtype=None):
         self.model = model
         self.beta = beta
@@ -43,11 +43,15 @@ class RandomWalkRefiner:
         # walk_dtype=jnp.bfloat16 runs the T^(2^logt) squaring chain in bf16
         # (ops/random_walk.py); None = f32 (reference parity default)
         self.walk_dtype = walk_dtype
-        if (
-            max_walk_px == MAX_WALK_PX
-            and getattr(model, "pair_impl", "sliced") == "gather"
-        ):
-            max_walk_px = MAX_WALK_PX_GATHER
+        # None = "unset": resolve to the measured-safe budget for the model's
+        # pair implementation. An explicit caller value — even one equal to
+        # MAX_WALK_PX — is honored as-is (no silent gather demotion).
+        if max_walk_px is None:
+            max_walk_px = (
+                MAX_WALK_PX_GATHER
+                if getattr(model, "pair_impl", "sliced") == "gather"
+                else MAX_WALK_PX
+            )
         self.max_walk_px = max_walk_px
         # dense-matrix construction inside the batched walk program:
         # "scatter" = .at[].add (reference's sparse to_dense semantics),

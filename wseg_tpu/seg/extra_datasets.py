@@ -29,7 +29,10 @@ class GenericSegDataset(VOCSegDataset):
     NUM_CLASSES = 21
 
     def __init__(self, cfg: SegConfig, period: str, transform: str = "none",
-                 datalist: str = ""):
+                 datalist: str = "", det_seed: int | None = None):
+        # same deterministic-augmentation contract as VOCSegDataset
+        self.det_seed = det_seed
+        self._epoch = 0
         self.cfg = cfg
         self.period = period
         self.transform = transform

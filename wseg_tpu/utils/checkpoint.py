@@ -21,11 +21,27 @@ import numpy as np
 
 
 def save_checkpoint(path: str, tree: Any):
+    """Atomically serialize `tree` to `path`.
+
+    Resumable trainers overwrite one checkpoint path in place every epoch; a
+    kill mid-write (the exact scenario --resume targets) must never truncate
+    the only resume state. Write to a temp file in the same directory and
+    os.replace() it over the target (atomic on POSIX).
+    """
     from flax import serialization
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(tree))
+    dirname = os.path.dirname(path) or "."
+    os.makedirs(dirname, exist_ok=True)
+    tmp = os.path.join(dirname, f".{os.path.basename(path)}.tmp.{os.getpid()}")
+    try:
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(tree))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def load_checkpoint(path: str, target: Any) -> Any:
