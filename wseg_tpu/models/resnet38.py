@@ -7,10 +7,15 @@ TPU-native rebuild of `network/resnet38d.py:6-189`:
 * `forward_as_dict` taps conv3/conv4/conv5/conv6 — the bn+relu of the b4/b5/
   b6 block inputs and the final bn7+relu 4096-ch feature.
 
-All BatchNorms are frozen (constants from running stats) exactly as the
-reference forces in `Net.train` (resnet38d.py:207-212). Parameter names
-mirror the reference state_dict keys so the torch/mxnet weight converters are
-a pure rename.
+BatchNorms are frozen by default (constants from running stats) exactly as
+the reference forces in `Net.train` for the stage-1/2 trainers
+(resnet38d.py:207-212, applied via contrast_train.py / aff_train.py calling
+`model.train()`). The stage-3 segmentation experiments never call
+`net.train()` (experiment/*/train.py — torch modules default to training
+mode), so THERE the same backbone runs its BN in batch-statistics mode with
+momentum 3e-4; `bn_frozen=False` reproduces that as-run behavior
+(seg/backbones.py:SegResNet38). Parameter names mirror the reference
+state_dict keys so the torch/mxnet weight converters are a pure rename.
 """
 
 from __future__ import annotations
@@ -46,6 +51,8 @@ class ResBlock(nn.Module):
     stride: int = 1
     first_dilation: int | None = None
     dilation: int = 1
+    bn_frozen: bool = True
+    bn_mom: float = 3e-4  # resnet38d.py:8 module constant
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, get_x_bn_relu: bool = False,
@@ -58,7 +65,13 @@ class ResBlock(nn.Module):
         same_shape = self.in_channels == self.out_channels and self.stride == 1
         fd = self.first_dilation if self.first_dilation is not None else self.dilation
 
-        branch2 = BatchNorm2d(self.in_channels, name="bn_branch2a")(x)
+        def bn(features, name):
+            return BatchNorm2d(
+                features, momentum=self.bn_mom, frozen=self.bn_frozen, name=name
+            )
+
+        branch2 = bn(self.in_channels, "bn_branch2a")(
+            x, use_running_average=not train)
         branch2 = jax.nn.relu(branch2)
         if mask_in is not None:
             branch2 = branch2 * mask_in
@@ -73,7 +86,8 @@ class ResBlock(nn.Module):
             self.mid_channels, 3, self.stride, dilation=fd, padding=fd,
             name="conv_branch2a",
         )(branch2)
-        branch2 = BatchNorm2d(self.mid_channels, name="bn_branch2b1")(branch2)
+        branch2 = bn(self.mid_channels, "bn_branch2b1")(
+            branch2, use_running_average=not train)
         branch2 = jax.nn.relu(branch2)
         if mask_out is not None:
             branch2 = branch2 * mask_out
@@ -97,11 +111,19 @@ class ResBlockBot(nn.Module):
     stride: int = 1
     dilation: int = 1
     dropout: float = 0.0
+    bn_frozen: bool = True
+    bn_mom: float = 3e-4
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, get_x_bn_relu: bool = False,
                  mask_in=None, mask_out=None):
-        branch2 = BatchNorm2d(self.in_channels, name="bn_branch2a")(x)
+        def bn(features, name):
+            return BatchNorm2d(
+                features, momentum=self.bn_mom, frozen=self.bn_frozen, name=name
+            )
+
+        branch2 = bn(self.in_channels, "bn_branch2a")(
+            x, use_running_average=not train)
         branch2 = jax.nn.relu(branch2)
         if mask_in is not None:
             branch2 = branch2 * mask_in
@@ -110,7 +132,8 @@ class ResBlockBot(nn.Module):
         branch1 = conv(self.out_channels, 1, self.stride, name="conv_branch1")(branch2)
 
         branch2 = conv(self.out_channels // 4, 1, self.stride, name="conv_branch2a")(branch2)
-        branch2 = BatchNorm2d(self.out_channels // 4, name="bn_branch2b1")(branch2)
+        branch2 = bn(self.out_channels // 4, "bn_branch2b1")(
+            branch2, use_running_average=not train)
         branch2 = jax.nn.relu(branch2)
         if mask_out is not None:
             branch2 = branch2 * mask_out
@@ -119,7 +142,8 @@ class ResBlockBot(nn.Module):
             self.out_channels // 2, 3, dilation=self.dilation, padding=self.dilation,
             name="conv_branch2b1",
         )(branch2)
-        branch2 = BatchNorm2d(self.out_channels // 2, name="bn_branch2b2")(branch2)
+        branch2 = bn(self.out_channels // 2, "bn_branch2b2")(
+            branch2, use_running_average=not train)
         branch2 = jax.nn.relu(branch2)
         if mask_out is not None:
             branch2 = branch2 * mask_out
@@ -161,10 +185,16 @@ class ResNet38(nn.Module):
     every bn+relu so valid outputs equal the exact-shape forward (see
     ResBlock.__call__)."""
 
+    bn_frozen: bool = True
+
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False,
                  valid_hw: jax.Array | None = None) -> dict[str, jax.Array]:
         n, h0, w0, _ = x.shape
+        from functools import partial
+
+        RB = partial(ResBlock, bn_frozen=self.bn_frozen)
+        RBB = partial(ResBlockBot, bn_frozen=self.bn_frozen)
 
         def mask(stride: int):
             if valid_hw is None:
@@ -176,49 +206,53 @@ class ResNet38(nn.Module):
 
         x = conv(64, 3, padding=1, name="conv1a")(x)
 
-        x = ResBlock(64, 128, 128, stride=2, name="b2")(
+        x = RB(64, 128, 128, stride=2, name="b2")(
             x, train=train, mask_in=m1, mask_out=m2)
-        x = ResBlock(128, 128, 128, name="b2_1")(
+        x = RB(128, 128, 128, name="b2_1")(
             x, train=train, mask_in=m2, mask_out=m2)
-        x = ResBlock(128, 128, 128, name="b2_2")(
+        x = RB(128, 128, 128, name="b2_2")(
             x, train=train, mask_in=m2, mask_out=m2)
 
-        x = ResBlock(128, 256, 256, stride=2, name="b3")(
+        x = RB(128, 256, 256, stride=2, name="b3")(
             x, train=train, mask_in=m2, mask_out=m4)
-        x = ResBlock(256, 256, 256, name="b3_1")(
+        x = RB(256, 256, 256, name="b3_1")(
             x, train=train, mask_in=m4, mask_out=m4)
-        x = ResBlock(256, 256, 256, name="b3_2")(
+        x = RB(256, 256, 256, name="b3_2")(
             x, train=train, mask_in=m4, mask_out=m4)
 
-        x, conv3 = ResBlock(256, 512, 512, stride=2, name="b4")(
+        x, conv3 = RB(256, 512, 512, stride=2, name="b4")(
             x, train=train, get_x_bn_relu=True, mask_in=m4, mask_out=m8
         )
-        x = ResBlock(512, 512, 512, name="b4_1")(
+        x = RB(512, 512, 512, name="b4_1")(
             x, train=train, mask_in=m8, mask_out=m8)
-        x = ResBlock(512, 512, 512, name="b4_2")(
+        x = RB(512, 512, 512, name="b4_2")(
             x, train=train, mask_in=m8, mask_out=m8)
-        x = ResBlock(512, 512, 512, name="b4_3")(
+        x = RB(512, 512, 512, name="b4_3")(
             x, train=train, mask_in=m8, mask_out=m8)
-        x = ResBlock(512, 512, 512, name="b4_4")(
+        x = RB(512, 512, 512, name="b4_4")(
             x, train=train, mask_in=m8, mask_out=m8)
-        x = ResBlock(512, 512, 512, name="b4_5")(
+        x = RB(512, 512, 512, name="b4_5")(
             x, train=train, mask_in=m8, mask_out=m8)
 
-        x, conv4 = ResBlock(
+        x, conv4 = RB(
             512, 512, 1024, stride=1, first_dilation=1, dilation=2, name="b5"
         )(x, train=train, get_x_bn_relu=True, mask_in=m8, mask_out=m8)
-        x = ResBlock(1024, 512, 1024, dilation=2, name="b5_1")(
+        x = RB(1024, 512, 1024, dilation=2, name="b5_1")(
             x, train=train, mask_in=m8, mask_out=m8)
-        x = ResBlock(1024, 512, 1024, dilation=2, name="b5_2")(
+        x = RB(1024, 512, 1024, dilation=2, name="b5_2")(
             x, train=train, mask_in=m8, mask_out=m8)
 
-        x, conv5 = ResBlockBot(1024, 2048, dilation=4, dropout=0.3, name="b6")(
+        x, conv5 = RBB(1024, 2048, dilation=4, dropout=0.3, name="b6")(
             x, train=train, get_x_bn_relu=True, mask_in=m8, mask_out=m8
         )
-        x = ResBlockBot(2048, 4096, dilation=4, dropout=0.5, name="b7")(
+        x = RBB(2048, 4096, dilation=4, dropout=0.5, name="b7")(
             x, train=train, mask_in=m8, mask_out=m8)
 
-        conv6 = jax.nn.relu(BatchNorm2d(4096, name="bn7")(x))
+        conv6 = jax.nn.relu(
+            BatchNorm2d(4096, momentum=3e-4, frozen=self.bn_frozen, name="bn7")(
+                x, use_running_average=not train
+            )
+        )
         if m8 is not None:
             conv6 = conv6 * m8
 

@@ -191,9 +191,15 @@ class DilatedResNet(nn.Module):
 
 class SegResNet38(nn.Module):
     """ResNet-38 backbone for segmentation: returns [conv4, conv5, conv6]
-    (backbone/resnet38d.py:162-190). Reuses the stage-1 ResNet38; stage-3
-    keeps BN frozen in that tower exactly as the reference variant does when
-    built with a fixed norm (backbone/resnet38d.py:8)."""
+    (backbone/resnet38d.py:162-190). Reuses the stage-1 ResNet38 with
+    `bn_frozen=False`: the reference's stage-3 experiment drivers never call
+    `net.train()` (experiment/*/train.py — torch modules default to training
+    mode), so the backbone's BN-freeze override (resnet38d.py:192-212) is
+    dead code there and its BNs run in batch-statistics mode with the
+    module-constant momentum 3e-4 (resnet38d.py:8) during training — the
+    as-run behavior this module reproduces. conv1a likewise stays trainable
+    (its `not_training` requires_grad freeze lives in the same uncalled
+    override)."""
 
     OUTPUT_DIM: int = 4096
     MIDDLE_DIM: int = 1024
@@ -203,7 +209,8 @@ class SegResNet38(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_hw=None):
-        d = ResNet38(name="resnet38")(x, train=train, valid_hw=valid_hw)
+        d = ResNet38(name="resnet38", bn_frozen=False)(
+            x, train=train, valid_hw=valid_hw)
         return [d["conv4"], d["conv5"], d["conv6"]]
 
 
